@@ -1,0 +1,108 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (vec_id: long,
+  * embedding: array<float>). Declarative only: dot products are scaled-integer
+  * in-row folds (`aggregate` over `zip_with`) so results are bit-deterministic
+  * regardless of partitioning; no UDFs, stays inside codegen.
+  *
+  * Scale path: brute-force top-k is O(N·Q) — fine when the query set is
+  * small/broadcast. For corpus-scale ANN, `ivfAssign` buckets vectors by
+  * nearest centroid (IVF coarse quantizer); `ivfSearch` probes only the
+  * `nprobe` nearest buckets — the join key becomes the bucket id, so the
+  * shuffle is proportional to probed buckets, not the corpus.
+  */
+object Similarity {
+
+  /** Scaled-integer dot product: Σ floor(aᵢ·bᵢ·10⁶) as int64. Integer
+    * addition is associative, so the value is identical under any partitioning
+    * or fold order — and reproducible in any engine (oracle-exact), unlike a
+    * float accumulation. 10⁻⁶ quantization is far below embedding noise.
+    */
+  def dotScaled(a: String, b: String) =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> cast(floor(cast(x as double) * cast(y as double) * 1000000D) as bigint)), 0L, (acc, v) -> acc + v)")
+
+  /** Cosine from scaled dots — double ops over exact integers, deterministic. */
+  def cosine(a: String, b: String) =
+    dotScaled(a, b).cast("double") /
+      sqrt(dotScaled(a, a).cast("double") * dotScaled(b, b).cast("double"))
+
+  /** Brute-force cosine top-k of `queries` (q_id, embedding) against `corpus`
+    * (vec_id, embedding). Output (q_id, vec_id, rank, cos_mppm) where
+    * cos_mppm = cosine in milli-ppm (×1e9, floored) — integer output keeps
+    * the oracle comparison exact. Rank ties break by vec_id asc.
+    */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val joined = queries.select(col("q_id"), col("embedding").as("qe"))
+      .crossJoin(corpus.select(col("vec_id"), col("embedding").as("ce")))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos", cosine("qe", "ce"))
+      .withColumn("cos_mppm", floor(col("cos") * lit(1000000000L)).cast("long"))
+    joined
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos_mppm").desc, col("vec_id").asc)))
+      .filter(col("rank") <= k)
+      .select("q_id", "vec_id", "rank", "cos_mppm")
+  }
+
+  /** IVF coarse assignment: centroid set = the first `k` vectors by vec_id
+    * (deterministic seeding); each vector goes to the centroid with max
+    * cosine (ties → lower centroid id). Output (vec_id, centroid_id).
+    */
+  def ivfAssign(corpus: DataFrame, k: Int): DataFrame = {
+    val centroids = corpus.filter(col("vec_id") < k)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cent"))
+    corpus.select(col("vec_id"), col("embedding"))
+      .join(broadcast(centroids))
+      .withColumn("cos", cosine("embedding", "cent"))
+      .withColumn("cos_mppm", floor(col("cos") * lit(1000000000L)).cast("long"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("cos_mppm").desc, col("centroid_id").asc)))
+      .filter(col("rn") === 1)
+      .select("vec_id", "centroid_id")
+  }
+
+  /** IVF search: probe the `nprobe` best buckets for each query, then exact
+    * top-k within the probed buckets only.
+    */
+  def ivfSearch(corpus: DataFrame, queries: DataFrame, k: Int,
+                nCentroids: Int, nprobe: Int): DataFrame = {
+    val assign = ivfAssign(corpus, nCentroids)
+    val centroids = corpus.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cent"))
+    val probes = queries.select(col("q_id"), col("embedding").as("qe"))
+      .join(broadcast(centroids))
+      .withColumn("cos", cosine("qe", "cent"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("centroid_id").asc)))
+      .filter(col("rn") <= nprobe)
+      .select(col("q_id"), col("qe"), col("centroid_id"))
+    probes
+      .join(assign, Seq("centroid_id"))
+      .join(corpus.select(col("vec_id").as("cand_id"), col("embedding").as("ce")),
+        col("vec_id") === col("cand_id"))
+      .filter(col("q_id") =!= col("cand_id"))
+      .withColumn("cos", cosine("qe", "ce"))
+      .withColumn("cos_mppm", floor(col("cos") * lit(1000000000L)).cast("long"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos_mppm").desc, col("cand_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("cand_id").as("vec_id"), col("rank"), col("cos_mppm"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ threshold_mppm within
+    * label-partitioned blocks (blocking keeps the pair space bounded).
+    */
+  def embeddingNearDup(corpus: DataFrame, thresholdMppm: Long): DataFrame = {
+    val a = corpus.select(col("label").as("lbl"), col("vec_id").as("a"), col("embedding").as("ea"))
+    val b = corpus.select(col("label").as("lbl"), col("vec_id").as("b"), col("embedding").as("eb"))
+    a.join(b, Seq("lbl")).filter(col("a") < col("b"))
+      .withColumn("cos", cosine("ea", "eb"))
+      .withColumn("cos_mppm", floor(col("cos") * lit(1000000000L)).cast("long"))
+      .filter(col("cos_mppm") >= thresholdMppm)
+      .select("a", "b", "cos_mppm")
+  }
+}
