@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // throughput-stable collector for batch benchmarking (G1 pause targets
+  // skew successive same-JVM sessions); generous young gen keeps the
+  // allocation-heavy extraction path out of full GCs
+  "-XX:+UseParallelGC",
+  s"-Xmn${sys.env.getOrElse("SPARK_GRAFT_XMN", "24g")}",
 )

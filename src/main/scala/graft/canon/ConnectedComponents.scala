@@ -33,6 +33,13 @@ object ConnectedComponents {
       .withColumn("component", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // convergence detection: min-propagation only ever decreases labels, so
+    // Σ component is strictly decreasing until the fixpoint — one cheap scalar
+    // aggregation per round instead of a join against the previous labels
+    // decimal sum: a long sum overflows at 10^12 vertices × 10^12 ids
+    def sumOf(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast("decimal(38,0)"))).first().getDecimal(0)
+    var labelSum = sumOf(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -47,14 +54,11 @@ object ConnectedComponents {
         if ((iter + 1) % checkpointEvery == 0) next.localCheckpoint(eager = true)
         else next.persist(StorageLevel.MEMORY_AND_DISK)
 
-      val changed = materialized.alias("n")
-        .join(labels.alias("o"), col("n.id") === col("o.id"))
-        .filter(col("n.component") < col("o.component"))
-        .limit(1).count()
-
+      val nextSum = sumOf(materialized)
       labels.unpersist(blocking = false)
       labels = materialized
-      converged = changed == 0
+      converged = nextSum.compareTo(labelSum) == 0
+      labelSum = nextSum
       iter += 1
     }
     sym.unpersist(blocking = false)

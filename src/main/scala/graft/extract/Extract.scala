@@ -107,4 +107,52 @@ object Extract {
     import cands.sparkSession.implicits._
     cands.map(SignatureScorer.toTriple)
   }
+
+  /** Fused extraction: (doc_id, text) → triples in ONE narrow stage with no
+    * intermediate Encoder round-trips. The composable stages above serialize
+    * Doc → Sentence → SdpCandidate → Triple at every typed boundary; at full
+    * parallelism that allocation rate becomes the scaling bottleneck (GC is a
+    * shared resource across executor threads). This path runs the identical
+    * row logic in one closure — results are row-equal to the composed
+    * pipeline (ExtractPipelineSpec) but with ~4× less garbage.
+    *
+    * `whitelist` empty ⇒ no signature gate (candidates mode).
+    */
+  def triplesFused(
+      docs: Dataset[(Long, String)],
+      whitelist: Set[String] = Set.empty,
+      minLen: Int = 1,
+      maxLen: Int = 7,
+      maxPairsPerSentence: Int = 64): Dataset[Triple] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(whitelist)
+    docs.mapPartitions { it =>
+      val wl = bc.value
+      it.flatMap { case (id, text) =>
+        val d = graft.corpus.Corpus.buildDoc(id, text)
+        d.spans.iterator.zipWithIndex.flatMap {
+          case (s, idx) if s.kind == "text" && s.text.nonEmpty =>
+            val (toks, chunks) = Annotator.annotate(Annotator.tokenize(s.text))
+            Sdp.sentenceToSdps(toks, chunks, minLen, maxLen)
+              .take(maxPairsPerSentence)
+              .iterator
+              .flatMap { case (x, y, path) =>
+                val clean = Sdp.postProcess(path)
+                if (clean.isEmpty) None
+                else {
+                  val sig = SignatureScorer.signatureKey(clean)
+                  if (wl.nonEmpty && !wl.contains(sig)) None
+                  else Some(SignatureScorer.toTripleWithSig(
+                    SdpCandidate(d.doc_id, idx,
+                      toks(x).text.toLowerCase, toks(y).text.toLowerCase,
+                      clean, "WIKI"),
+                    sig))
+                }
+              }
+          case _ => Iterator.empty
+        }
+      }
+    }
+  }
 }

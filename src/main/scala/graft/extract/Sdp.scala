@@ -52,10 +52,20 @@ object Sdp {
 
   /** First token of xPath that appears anywhere in yPath
     * (semeval2sdp.py:66-72 — outer loop over the X path fixes the order).
+    * Allocation-free nested scan — root paths are sentence-bounded and short,
+    * so this beats building a set per candidate pair.
     */
   def commonAncestor(xPath: Array[Int], yPath: Array[Int]): Option[Int] = {
-    val ySet = yPath.toSet
-    xPath.find(ySet.contains)
+    var i = 0
+    while (i < xPath.length) {
+      var j = 0
+      while (j < yPath.length) {
+        if (xPath(i) == yPath(j)) return Some(xPath(i))
+        j += 1
+      }
+      i += 1
+    }
+    None
   }
 
   private def step(tokens: Array[Token], i: Int): PathStep = {
@@ -66,9 +76,15 @@ object Sdp {
   /** Three-case SDP assembly with `<X>`/`<Y>` endpoint placeholders
     * (semeval2sdp.py:105-139). Returns None for case 1 (no common ancestor).
     */
-  def assemble(tokens: Array[Token], x: Int, y: Int): Option[Array[PathStep]] = {
-    val xPath = rootPath(tokens, x)
-    val yPath = rootPath(tokens, y)
+  def assemble(tokens: Array[Token], x: Int, y: Int): Option[Array[PathStep]] =
+    assembleWithPaths(tokens, x, y, rootPath(tokens, x), rootPath(tokens, y))
+
+  /** assemble() with caller-supplied root paths, so per-sentence callers can
+    * compute each chunk head's path once instead of once per pair (the pair
+    * loop is quadratic in chunk count — J4).
+    */
+  def assembleWithPaths(tokens: Array[Token], x: Int, y: Int,
+                        xPath: Array[Int], yPath: Array[Int]): Option[Array[PathStep]] = {
     commonAncestor(xPath, yPath).map { common =>
       val out =
         if (x == common) {
@@ -100,13 +116,25 @@ object Sdp {
       tokens: Array[Token],
       chunks: Array[Chunk],
       minLen: Int = 1,
-      maxLen: Int = 7): Seq[(Int, Int, Array[PathStep])] =
-    chunkPairs(tokens, chunks).flatMap { case (x, y) =>
-      assemble(tokens, x, y) match {
-        case Some(p) if p.length >= minLen && p.length <= maxLen => Some((x, y, p))
-        case _                                                   => None
+      maxLen: Int = 7): Seq[(Int, Int, Array[PathStep])] = {
+    val heads = chunks.flatMap(c => chunkHead(tokens, c))
+    val paths = heads.map(h => rootPath(tokens, h)) // one walk per head, not per pair
+    val out = Seq.newBuilder[(Int, Int, Array[PathStep])]
+    var i = 0
+    while (i < heads.length - 1) {
+      var j = i + 1
+      while (j < heads.length) {
+        assembleWithPaths(tokens, heads(i), heads(j), paths(i), paths(j)) match {
+          case Some(p) if p.length >= minLen && p.length <= maxLen =>
+            out += ((heads(i), heads(j), p))
+          case _ =>
+        }
+        j += 1
       }
+      i += 1
     }
+    out.result()
+  }
 
   /** Drop `<PUNCT>` steps (post_process_sdp, semeval2sdp.py:239-243). */
   def postProcess(path: Array[PathStep]): Array[PathStep] =

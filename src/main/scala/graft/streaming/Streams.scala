@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming surface (SURVEY.md §2.11: the reference is batch-only;
+  * this is the engine's forward-looking stream path): watermarked tumbling-
+  * window aggregation and custom sessionization state, both fed by the events
+  * table schema (event_id, ts, user_id, event_type, value, props).
+  */
+object Streams {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double, props: String)
+
+  case class UserSession(user_id: Long, n_events: Long, value_sum_micro: Long,
+                         first_ts: Timestamp, last_ts: Timestamp)
+
+  /** Watermarked tumbling-window counts/sums per event type. Batch-equivalent
+    * of PipelineQueries q25 — the same logical agg runs on a stream.
+    */
+  def windowedAgg(events: DataFrame, window_ : String = "1 hour",
+                  watermark: String = "2 hours"): DataFrame =
+    events
+      // parquet TIMESTAMP_NTZ → TIMESTAMP (watermarks require an LTZ column;
+      // session timezone is pinned to UTC so the cast is value-preserving)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(floor(value * 1000000D) as bigint)")).as("value_sum_micro"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n"), col("value_sum_micro"))
+
+  /** Stateful per-user session accumulation via mapGroupsWithState — the
+    * custom-state streaming primitive (running totals survive across
+    * micro-batches).
+    */
+  private implicit val tsOrdering: Ordering[Timestamp] = Ordering.by(_.getTime)
+
+  def sessionize(events: Dataset[Event]): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserSession, UserSession](GroupStateTimeout.NoTimeout) {
+        case (uid, it, state: GroupState[UserSession]) =>
+          val evs = it.toSeq
+          val batchFirst = evs.map(_.ts).min
+          val batchLast = evs.map(_.ts).max
+          val prev = state.getOption.getOrElse(UserSession(uid, 0L, 0L, batchFirst, batchLast))
+          val next = UserSession(
+            uid,
+            prev.n_events + evs.size,
+            prev.value_sum_micro + evs.map(e => math.floor(e.value * 1e6).toLong).sum,
+            Seq(prev.first_ts, batchFirst).min,
+            Seq(prev.last_ts, batchLast).max)
+          state.update(next)
+          next
+      }
+  }
+
+  /** File-source stream over a directory of events parquet files: the
+    * standard readStream → transform → memory-sink smoke path.
+    */
+  def eventsStream(spark: SparkSession, dir: String, schemaFrom: String): DataFrame = {
+    val schema = spark.read.parquet(schemaFrom).schema
+    spark.readStream.schema(schema).parquet(dir)
+  }
+}

@@ -74,6 +74,23 @@ class ExtractPipelineSpec extends SparkSuite {
     assert(got == expected, "expected exact distributed/single-node agreement")
   }
 
+  test("fused single-stage path == composed pipeline (with and without whitelist)") {
+    import org.apache.spark.sql.functions.col
+    val raw = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+    val composed = Extract.triples(Extract.candidates(Extract.docsToSentences(docs)))
+      .collect().toSet
+    val fused = Extract.triplesFused(raw).collect().toSet
+    assert(fused == composed)
+
+    val cands = Extract.candidates(Extract.docsToSentences(docs))
+    val wl = Extract.signatureWhitelist(cands, 3)
+      .select("sig").as[String].collect().toSet
+    val composedWl = Extract.triples(Extract.filterByWhitelist(cands, wl)).collect().toSet
+    val fusedWl = Extract.triplesFused(raw, wl).collect().toSet
+    assert(fusedWl == composedWl)
+  }
+
   test("whitelist gate + scorer emit deterministic triples") {
     val cands = Extract.candidates(Extract.docsToSentences(docs)).cache()
     val wl = Extract.signatureWhitelist(cands, minCount = 3)
