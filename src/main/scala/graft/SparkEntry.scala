@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{GraphQueries, KgQueries, PipelineQueries, RelationalQueries}
+import graft.queries.{GraphQueries, KgQueries, MiscQueries, PipelineQueries, RelationalQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -13,12 +13,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ GraphQueries.queries ++
-      PipelineQueries.queries ++ KgQueries.queries
+      PipelineQueries.queries ++ MiscQueries.queries ++ KgQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops (the kg_*
     * pipeline stages) → driver records a weaker rows-only check there.
     */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ GraphQueries.oracles ++ PipelineQueries.oracles
+    RelationalQueries.oracles ++ GraphQueries.oracles ++
+      PipelineQueries.oracles ++ MiscQueries.oracles
 }

@@ -1,0 +1,205 @@
+package graft.queries
+
+import graft.corpus.Corpus
+import graft.dedup.Dedup
+import graft.extract.Extract
+import graft.functions.Hamming64.hamming64
+import graft.functions.Portable._
+import graft.sample.NegativeSampling
+import graft.score.NeuralScorer
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Remaining SURVEY.md §2 operator coverage: power-smoothed distributions
+  * (A6), important-vocab override (A5), entropy ranking (A12), Brown-cluster
+  * joins (J2/P15), reverse-path duplication (P12/U4), confusion matrix (A9),
+  * SimHash near-dup via the native hamming64 Expression, neural scoring
+  * (M1-M5) and negative sampling (§2.9).
+  */
+object MiscQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select("doc_id", "text")
+
+  private def md5numSql(e: String) =
+    s"(('0x' || substring(md5($e), 1, 15))::BIGINT)"
+
+  private val importantTokens = Seq("spark", "join", "filter")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // SimHash near-dup candidates: band on the high byte, verify with the
+    // codegen'd hamming64 Expression (bounded pair space, no all-pairs)
+    "q28_simhash_neardup" -> ((s, dir) => {
+      val sh = Dedup.simhash(docs(s, dir))
+      val a = sh.select(col("doc_id").as("a"), col("simhash").as("sim_a"),
+        expr("simhash >> 8").as("band"))
+      val b = sh.select(col("doc_id").as("b"), col("simhash").as("sim_b"),
+        expr("simhash >> 8").as("band"))
+      a.join(b, Seq("band")).filter(col("a") < col("b"))
+        .withColumn("hamming", hamming64(col("sim_a"), col("sim_b")))
+        .filter(col("hamming") <= 3)
+        .select("a", "b", "hamming")
+    }),
+
+    // A6: negative-sampling smoothing p^0.75 / Σ p^0.75, integer-scaled
+    "q29_power_smooth" -> ((s, dir) => {
+      val freq = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+        .withColumn("s", expr("cast(floor(pow(freq, 0.75D) * 1000000D) as bigint)"))
+      freq.withColumn("total", sum("s").over(Window.partitionBy()))
+        .select(col("token"), expr("s * 1000000L div total").as("smooth_ppm"))
+    }),
+
+    // A5: important-vocab override — listed tokens bypass the top-K cutoff
+    "q30_important_vocab" -> ((s, dir) => {
+      val imp = importantTokens.map(x => s"'$x'").mkString(", ")
+      docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("freq").desc, col("token").asc)))
+        .filter(col("rank") <= 10 || expr(s"array_contains(array($imp), token)"))
+        .select("token", "freq", "rank")
+    }),
+
+    // A12: per-doc token-distribution entropy in nano-nats (integer-scaled
+    // terms so the sum is order-free)
+    "q31_entropy" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+        .withColumn("total", sum("cnt").over(Window.partitionBy("doc_id")))
+        .withColumn("term", expr(
+          "cast(floor(-(cast(cnt as double) / total) * ln(cast(cnt as double) / total) * 1000000000D) as bigint)"))
+        .groupBy("doc_id").agg(sum("term").as("entropy_nn"))),
+
+    // J2/P15: Brown-cluster joins — deterministic cluster table, pair label
+    "q32_cluster_pair" -> ((s, dir) => {
+      val toks = docs(s, dir).select(col("doc_id"),
+        element_at(split(col("text"), " "), 1).as("first_tok"),
+        element_at(split(col("text"), " "), -1).as("last_tok"))
+      val clusters = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("ctoken")).distinct()
+        .filter(length(col("ctoken")) > 0)
+        .withColumn("cluster", md5num(col("ctoken")) % 64)
+      toks
+        .join(broadcast(clusters).withColumnRenamed("ctoken", "ft")
+          .withColumnRenamed("cluster", "c_first"), col("first_tok") === col("ft"), "left")
+        .join(broadcast(clusters).withColumnRenamed("ctoken", "lt")
+          .withColumnRenamed("cluster", "c_last"), col("last_tok") === col("lt"), "left")
+        .select(col("doc_id"),
+          coalesce(col("c_first"), lit(-1)).as("c_first"),
+          coalesce(col("c_last"), lit(-1)).as("c_last"),
+          (coalesce(col("c_first"), lit(-1)) * 64 + coalesce(col("c_last"), lit(-1)))
+            .as("pair_label"))
+    }),
+
+    // A9: confusion matrix counts over a derived (pred, label) pair stream
+    "q33_confusion" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(
+          when(col("value") > 50, lit("hi")).otherwise(lit("lo")).as("pred"),
+          when(col("event_id") % 2 === 0, lit("hi")).otherwise(lit("lo")).as("label"))
+        .groupBy("pred", "label").agg(count(lit(1)).as("n"))),
+
+    // P12/U4: reverse duplication — forward ∪ reversed token sequences
+    "q34_reverse_dup" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"),
+        expr("filter(split(text, ' '), t -> length(t) > 0)").as("toks"))
+      base.select(col("doc_id"), lit("fwd").as("dir"),
+        element_at(col("toks"), 1).as("head"), size(col("toks")).cast("long").as("n"))
+        .unionByName(
+          base.select(col("doc_id"), lit("rev").as("dir"),
+            element_at(reverse(col("toks")), 1).as("head"), size(col("toks")).cast("long").as("n")))
+    }),
+
+    // M1-M5: broadcast-weight GRU scoring (rows-only: float model, spec-gated)
+    "q35_neural_triples" -> ((s, dir) => {
+      val cands = Extract.candidates(
+        Extract.docsToSentences(Corpus.fromDocuments(s, dir)))
+      NeuralScorer.score(cands).toDF()
+        .select(col("subj"), col("pred"), col("obj"), col("doc_id"), col("span_idx"))
+    }),
+
+    // §2.9: negative sampling (rows-only: keyed-RNG corruption, spec-gated)
+    "q36_negative_sampling" -> ((s, dir) => {
+      import s.implicits._
+      val cands = Extract.candidates(
+        Extract.docsToSentences(Corpus.fromDocuments(s, dir)))
+      val targets = cands.select("x").distinct().as[String].collect().sorted.toIndexedSeq
+      NegativeSampling.withNegatives(cands, targets, targets, negPer = 2)
+        .map(l => (l.cand.doc_id, l.cand.span_idx, l.cand.x, l.cand.y, l.label, l.copy))
+        .toDF("doc_id", "span_idx", "x", "y", "label", "copy")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q28_simhash_neardup" -> {
+      val simhashSql =
+        s"""SELECT doc_id, sum(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0 END)::BIGINT AS simhash
+           |FROM (SELECT doc_id, j, sum(cnt * (((h >> j) & 1) * 2 - 1)) AS s
+           |  FROM (SELECT doc_id, token, count(*) AS cnt,
+           |    (${md5numSql("token")} % 1000000007) AS h
+           |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+           |    WHERE len(token) > 0 GROUP BY doc_id, token) tc,
+           |  (SELECT unnest(range(0, 16)) AS j) js GROUP BY doc_id, j) bits
+           |GROUP BY doc_id""".stripMargin.replace("\n", " ")
+      s"""WITH sh AS ($simhashSql)
+         |SELECT x.doc_id AS a, y.doc_id AS b, bit_count(xor(x.simhash, y.simhash)) AS hamming
+         |FROM sh x JOIN sh y ON (x.simhash >> 8) = (y.simhash >> 8) AND x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3""".stripMargin.replace("\n", " ")
+    },
+    "q29_power_smooth" ->
+      """WITH f AS (SELECT token, count(*) AS freq,
+        |  floor(pow(count(*), 0.75) * 1000000)::BIGINT AS s
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |  WHERE len(token) > 0 GROUP BY token)
+        |SELECT token, s * 1000000 // sum(s) OVER () AS smooth_ppm FROM f""".stripMargin
+        .replace("\n", " "),
+    "q30_important_vocab" -> {
+      val imp = importantTokens.map(x => s"'$x'").mkString(", ")
+      s"""SELECT token, freq, rank FROM (
+         |SELECT token, count(*) AS freq,
+         |row_number() OVER (ORDER BY count(*) DESC, token ASC) AS rank
+         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+         |WHERE len(token) > 0 GROUP BY token)
+         |WHERE rank <= 10 OR list_contains([$imp], token)""".stripMargin.replace("\n", " ")
+    },
+    "q31_entropy" ->
+      """SELECT doc_id, sum(term)::BIGINT AS entropy_nn FROM (
+        |SELECT doc_id,
+        |floor(-(cnt::DOUBLE / total) * ln(cnt::DOUBLE / total) * 1000000000)::BIGINT AS term
+        |FROM (SELECT doc_id, token, count(*) AS cnt,
+        |  sum(count(*)) OVER (PARTITION BY doc_id) AS total
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |  WHERE len(token) > 0 GROUP BY doc_id, token)) GROUP BY doc_id""".stripMargin
+        .replace("\n", " "),
+    "q32_cluster_pair" ->
+      s"""WITH cl AS (SELECT DISTINCT token AS ctoken, ${md5numSql("token")} % 64 AS cluster
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+         |  WHERE len(token) > 0),
+         |tk AS (SELECT doc_id, string_split(text, ' ')[1] AS first_tok,
+         |  string_split(text, ' ')[-1] AS last_tok FROM documents)
+         |SELECT tk.doc_id, coalesce(a.cluster, -1) AS c_first, coalesce(b.cluster, -1) AS c_last,
+         |coalesce(a.cluster, -1) * 64 + coalesce(b.cluster, -1) AS pair_label
+         |FROM tk LEFT JOIN cl a ON tk.first_tok = a.ctoken
+         |LEFT JOIN cl b ON tk.last_tok = b.ctoken""".stripMargin.replace("\n", " "),
+    "q33_confusion" ->
+      """SELECT CASE WHEN value > 50 THEN 'hi' ELSE 'lo' END AS pred,
+        |CASE WHEN event_id % 2 = 0 THEN 'hi' ELSE 'lo' END AS label,
+        |count(*) AS n FROM events GROUP BY 1, 2""".stripMargin.replace("\n", " "),
+    "q34_reverse_dup" ->
+      """SELECT doc_id, 'fwd' AS dir, toks[1] AS head, len(toks)::BIGINT AS n
+        |FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks FROM documents)
+        |UNION ALL
+        |SELECT doc_id, 'rev' AS dir, list_reverse(toks)[1] AS head, len(toks)::BIGINT AS n
+        |FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks FROM documents)""".stripMargin
+        .replace("\n", " "))
+}
