@@ -43,5 +43,15 @@ object KgQueries {
         .select("sig").as[String].collect().toSet
       val out = Extract.triples(Extract.filterByWhitelist(cands, wl)).toDF()
       out
+    }),
+
+    // the FULL checkpointed run: extract → link → canonicalize → emit
+    // (fresh temp runDir per invocation so the stages actually execute)
+    "kg_canonical_triples" -> ((s, dir) => {
+      val runDir = java.nio.file.Files
+        .createTempDirectory("graft-kgq").toString
+      graft.pipeline.KgPipeline.run(s, dir, runDir)
+        .select(col("subj_id"), col("pred"), col("obj_id"),
+          col("subj"), col("obj"), col("doc_id"), col("span_idx"))
     }))
 }

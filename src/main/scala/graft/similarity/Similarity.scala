@@ -36,10 +36,16 @@ object Similarity {
     * the oracle comparison exact. Rank ties break by vec_id asc.
     */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val joined = queries.select(col("q_id"), col("embedding").as("qe"))
-      .crossJoin(corpus.select(col("vec_id"), col("embedding").as("ce")))
+    // self-dots once per side, not once per pair
+    val q = queries.select(col("q_id"), col("embedding").as("qe"))
+      .withColumn("dqq", dotScaled("qe", "qe"))
+    val c = corpus.select(col("vec_id"), col("embedding").as("ce"))
+      .withColumn("dcc", dotScaled("ce", "ce"))
+    val joined = q.crossJoin(c)
       .filter(col("q_id") =!= col("vec_id"))
-      .withColumn("cos", cosine("qe", "ce"))
+      .withColumn("cos",
+        dotScaled("qe", "ce").cast("double") /
+          sqrt(col("dqq").cast("double") * col("dcc").cast("double")))
       .withColumn("cos_mppm", floor(col("cos") * lit(1000000000L)).cast("long"))
     joined
       .withColumn("rank", row_number().over(
@@ -95,12 +101,20 @@ object Similarity {
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold_mppm within
     * label-partitioned blocks (blocking keeps the pair space bounded).
+    * Self-dots are precomputed once per vector (O(N) folds) instead of per
+    * pair (O(pairs) folds) — 3× fewer folds on the quadratic step.
     */
   def embeddingNearDup(corpus: DataFrame, thresholdMppm: Long): DataFrame = {
-    val a = corpus.select(col("label").as("lbl"), col("vec_id").as("a"), col("embedding").as("ea"))
-    val b = corpus.select(col("label").as("lbl"), col("vec_id").as("b"), col("embedding").as("eb"))
+    val withNorm = corpus.select(col("label").as("lbl"), col("vec_id"), col("embedding"))
+      .withColumn("selfdot", dotScaled("embedding", "embedding"))
+    val a = withNorm.select(col("lbl"), col("vec_id").as("a"),
+      col("embedding").as("ea"), col("selfdot").as("daa"))
+    val b = withNorm.select(col("lbl"), col("vec_id").as("b"),
+      col("embedding").as("eb"), col("selfdot").as("dbb"))
     a.join(b, Seq("lbl")).filter(col("a") < col("b"))
-      .withColumn("cos", cosine("ea", "eb"))
+      .withColumn("cos",
+        dotScaled("ea", "eb").cast("double") /
+          sqrt(col("daa").cast("double") * col("dbb").cast("double")))
       .withColumn("cos_mppm", floor(col("cos") * lit(1000000000L)).cast("long"))
       .filter(col("cos_mppm") >= thresholdMppm)
       .select("a", "b", "cos_mppm")
