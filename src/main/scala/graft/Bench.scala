@@ -78,7 +78,9 @@ object Bench {
     case class KgStats(docs: Long, triples: Long, bestSec: Double) {
       def tps: Double = triples / bestSec
     }
-    def kgAt(cores: Int, reps: Int = 3): KgStats = {
+    // reps: this VM sees bursty CPU steal from host neighbors (visible in
+    // /proc/stat); best-of-4 filters the stolen-quantum runs
+    def kgAt(cores: Int, reps: Int = 4): KgStats = {
       System.gc()
       val s = session(cores)
       try {

@@ -44,6 +44,24 @@ object Corpus {
     Doc(f"d$id%09d", spans.toArray)
   }
 
+  /** Token windows of a doc's text spans WITH the span indices they get in
+    * buildDoc (media interleaving shifts text-span indices). The fused
+    * extraction path uses this to skip the join-then-resplit round trip of
+    * building span text strings; equality with buildDoc's span numbering is
+    * enforced by the fused==composed differential test.
+    */
+  def textSpanTokenWindows(id: Long, text: String): Iterator[(Int, Array[String])] = {
+    val words = text.split(" ").filter(_.nonEmpty)
+    val groups = words.grouped(sentenceTokens).toArray
+    var idx = 0
+    groups.iterator.zipWithIndex.map { case (w, i) =>
+      val out = (idx, w)
+      idx += 1
+      if (math.floorMod(id * 31 + i, 3) == 0) idx += 1 // media span follows
+      out
+    }
+  }
+
   /** Interleaved-doc table from the driver's documents.parquet (doc_id, text). */
   def fromDocuments(spark: SparkSession, sfDir: String): Dataset[Doc] = {
     import spark.implicits._

@@ -130,10 +130,10 @@ object Extract {
     docs.mapPartitions { it =>
       val wl = bc.value
       it.flatMap { case (id, text) =>
-        val d = graft.corpus.Corpus.buildDoc(id, text)
-        d.spans.iterator.zipWithIndex.flatMap {
-          case (s, idx) if s.kind == "text" && s.text.nonEmpty =>
-            val (toks, chunks) = Annotator.annotate(Annotator.tokenize(s.text))
+        val docId = f"d$id%09d"
+        graft.corpus.Corpus.textSpanTokenWindows(id, text).flatMap {
+          case (idx, words) if words.nonEmpty =>
+            val (toks, chunks) = Annotator.annotate(words)
             Sdp.sentenceToSdps(toks, chunks, minLen, maxLen)
               .take(maxPairsPerSentence)
               .iterator
@@ -144,7 +144,7 @@ object Extract {
                   val sig = SignatureScorer.signatureKey(clean)
                   if (wl.nonEmpty && !wl.contains(sig)) None
                   else Some(SignatureScorer.toTripleWithSig(
-                    SdpCandidate(d.doc_id, idx,
+                    SdpCandidate(docId, idx,
                       toks(x).text.toLowerCase, toks(y).text.toLowerCase,
                       clean, "WIKI"),
                     sig))

@@ -116,6 +116,38 @@ class SdpSpec extends AnyFunSuite {
     assert(t1.forall(t => t.head >= 0 && t.head < t1.length))
   }
 
+  test("isOkSdp: OOV targets rejected, OOV-heavy paths rejected (75% rule)") {
+    val vocab = Set("a", "b", "chase", "<X>", "<Y>")
+    val path = Array(
+      PathStep("<X>", "nsubj", "NOUN"),
+      PathStep("chase", "ROOT", "VERB"),
+      PathStep("<Y>", "dobj", "NOUN"))
+    assert(Sdp.isOkSdp(path, xInVocab = true, yInVocab = true, vocab.contains))
+    assert(!Sdp.isOkSdp(path, xInVocab = false, yInVocab = true, vocab.contains))
+    // 3 of 3 steps OOV > 75%·3 = 2 (int) → reject; 2 of 3 (= boundary) passes
+    val oovPath = Array(
+      PathStep("zz", "nsubj", "NOUN"), PathStep("yy", "ROOT", "VERB"),
+      PathStep("xx", "dobj", "NOUN"))
+    assert(!Sdp.isOkSdp(oovPath, xInVocab = true, yInVocab = true, vocab.contains))
+    val twoOov = Array(
+      PathStep("zz", "nsubj", "NOUN"), PathStep("yy", "ROOT", "VERB"),
+      PathStep("chase", "dobj", "NOUN"))
+    assert(Sdp.isOkSdp(twoOov, xInVocab = true, yInVocab = true, vocab.contains))
+    assert(!Sdp.isOkSdp(Array.empty, xInVocab = true, yInVocab = true, vocab.contains))
+  }
+
+  test("label space: 19 ids, inverse flips direction, collapse strips it") {
+    import graft.score.Labels
+    assert(Labels.all.length == 19 && Labels.all.last == "Other")
+    assert(Labels.inverse("Cause-Effect(e1,e2)") == "Cause-Effect(e2,e1)")
+    assert(Labels.inverse("Cause-Effect(e2,e1)") == "Cause-Effect(e1,e2)")
+    assert(Labels.inverse("Other") == "Other")
+    assert(Labels.all.forall(l => Labels.inverse(Labels.inverse(l)) == l))
+    assert(Labels.collapse("Member-Collection(e2,e1)") == "Member-Collection")
+    assert(Labels.collapse("Other") == "Other")
+    assert(Labels.id("Other") == 18)
+  }
+
   test("smartText: num wins over punct; lowercase otherwise") {
     assert(Annotator.smartText("Dog", punct = false, num = false) == "dog")
     assert(Annotator.smartText(",", punct = true, num = false) == "<PUNCT>")
