@@ -100,8 +100,8 @@ object Bench {
     // second N/4N pair: 4→16 stays inside the socket's bandwidth envelope,
     // the closer analog of adding executor HOSTS (which don't share a
     // memory bus the way local threads do)
-    val kg4 = kgAt(4)
-    val kg16 = kgAt(16)
+    val kg4 = kgAt(4, reps = 2) // secondary pair: fewer reps, bounded wall time
+    val kg16 = kgAt(16, reps = 2)
     val eff416 = kg16.tps / (4.0 * kg4.tps)
     // headline = the run at the requested parallelism
     val headline = if (cpus == 8) kg8 else if (cpus == 16) kg16 else if (cpus == 4) kg4 else kg32

@@ -47,7 +47,17 @@ object KgPipeline {
       val cands = candidates.as[SdpCandidate]
       val wl = Extract.signatureWhitelist(cands, whitelistMinCount)
         .select("sig").as[String].collect().toSet
-      Extract.triples(Extract.filterByWhitelist(cands, wl)).toDF()
+      // is_ok_sdp rule 1 (semeval2sdp.py:245-262): drop candidates whose
+      // target surfaces are out-of-vocabulary (< 2 occurrences corpus-wide)
+      val vocab = candidates.select(col("x").as("surface"))
+        .union(candidates.select(col("y").as("surface")))
+        .groupBy("surface").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2)
+        .select("surface").as[String].collect().toSet
+      val bcVocab = spark.sparkContext.broadcast(vocab)
+      val inVocab = Extract.filterByWhitelist(cands, wl)
+        .filter(c => bcVocab.value.contains(c.x) && bcVocab.value.contains(c.y))
+      Extract.triples(inVocab).toDF()
     }
 
     val aliasDict = log.runStage("alias_dict") {
