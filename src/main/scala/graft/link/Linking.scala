@@ -27,13 +27,14 @@ object Linking {
 
   /** Frequency-ranked alias dictionary with deterministic tie-break
     * (freq desc, alias asc — the reference's Counter.most_common order made
-    * partition-invariant, SURVEY.md W2 note).
+    * partition-invariant, SURVEY.md W2 note). `surfaces` is any single-column
+    * DataFrame of alias strings.
     */
-  def buildAliasDict(mentions: Dataset[Mention], minCount: Long = 1): Dataset[AliasEntry] = {
-    val spark = mentions.sparkSession
+  def buildAliasDictFromSurfaces(surfaces: DataFrame, minCount: Long = 1): Dataset[AliasEntry] = {
+    val spark = surfaces.sparkSession
     import spark.implicits._
-    val counts = mentions.groupBy(col("surface").as("alias"))
-      .agg(count(lit(1)).as("freq"))
+    val counts = surfaces.toDF("alias")
+      .groupBy("alias").agg(count(lit(1)).as("freq"))
       .filter(col("freq") >= minCount)
     // dictionary-sized data: the global window is a deliberate single-partition
     // step over ~vocab rows, never over the mention stream
@@ -45,6 +46,9 @@ object Linking {
       .select(col("alias"), col("entity_id"), col("freq"), col("prob"))
       .as[AliasEntry]
   }
+
+  def buildAliasDict(mentions: Dataset[Mention], minCount: Long = 1): Dataset[AliasEntry] =
+    buildAliasDictFromSurfaces(mentions.select("surface").toDF(), minCount)
 
   /** Broadcast dictionary join: mention surface → entity_id, misses → OOV
     * (vocab2idx semantics). No shuffle of the mention stream.

@@ -61,16 +61,8 @@ object KgPipeline {
     }
 
     val aliasDict = log.runStage("alias_dict") {
-      val surfaces = triples.select(col("subj").as("surface"))
-        .union(triples.select(col("obj").as("surface")))
-      // reuse the mention-dictionary builder shape on triple endpoints
-      val counts = surfaces.groupBy(col("surface").as("alias")).agg(count(lit(1)).as("freq"))
-      val total = counts.agg(sum("freq")).first().getLong(0).toDouble
-      counts.withColumn("entity_id",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("freq").desc, col("alias").asc)).cast("long") - 1)
-        .withColumn("prob", col("freq") / lit(total))
-        .select("alias", "entity_id", "freq", "prob")
+      Linking.buildAliasDictFromSurfaces(
+        triples.select(col("subj")).union(triples.select(col("obj")))).toDF()
     }
 
     val linked = log.runStage("linked_triples") {
