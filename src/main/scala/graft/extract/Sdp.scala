@@ -136,6 +136,20 @@ object Sdp {
     out.result()
   }
 
+  /** Surface-sequence alternative to the SDP (the reference's `--sentence`
+    * flag, convert_nominals_to_sentence, semeval_data_helper.py:130-151):
+    * the smart-text token run between X and Y inclusive, with `<X>`/`<Y>`
+    * placeholders at the ends.
+    */
+  def nominalSequence(tokens: Array[Token], x: Int, y: Int): Array[PathStep] = {
+    val (lo, hi) = if (x <= y) (x, y) else (y, x)
+    val seq = (lo to hi).map(step(tokens, _)).toArray
+    seq(0) = PathStep(if (x <= y) "<X>" else "<Y>", seq(0).dep, seq(0).pos)
+    seq(seq.length - 1) =
+      PathStep(if (x <= y) "<Y>" else "<X>", seq.last.dep, seq.last.pos)
+    seq
+  }
+
   /** Drop `<PUNCT>` steps (post_process_sdp, semeval2sdp.py:239-243). */
   def postProcess(path: Array[PathStep]): Array[PathStep] =
     path.filter(_.word != "<PUNCT>")

@@ -129,6 +129,24 @@ object MiscQueries {
         .select(col("subj"), col("pred"), col("obj"), col("doc_id"), col("span_idx"))
     }),
 
+    // A3: vocab with specials appended; OOV pseudo-count = mass of the
+    // truncated tail (semeval2sdp.py:227-230)
+    "q37_vocab_specials" -> ((s, dir) => {
+      val freq = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("freq").desc, col("token").asc)))
+      val kept = freq.filter(col("rank") <= 20).select("token", "freq")
+      val tailMass = freq.filter(col("rank") > 20)
+        .agg(coalesce(sum("freq"), lit(0L)).as("freq"))
+      val specials = Seq("<OOV>", "<X>", "<Y>", "<NUM>", "<PUNCT>")
+        .map(sp => tailMass.select(lit(sp).as("token"), col("freq")))
+        .reduce(_ unionByName _)
+      kept.unionByName(specials)
+    }),
+
     // §2.9: negative sampling (rows-only: keyed-RNG corruption, spec-gated)
     "q36_negative_sampling" -> ((s, dir) => {
       import s.implicits._
@@ -191,6 +209,16 @@ object MiscQueries {
          |coalesce(a.cluster, -1) * 64 + coalesce(b.cluster, -1) AS pair_label
          |FROM tk LEFT JOIN cl a ON tk.first_tok = a.ctoken
          |LEFT JOIN cl b ON tk.last_tok = b.ctoken""".stripMargin.replace("\n", " "),
+    "q37_vocab_specials" ->
+      """WITH f AS (SELECT token, count(*) AS freq,
+        |  row_number() OVER (ORDER BY count(*) DESC, token ASC) AS rank
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |  WHERE len(token) > 0 GROUP BY token),
+        |tail AS (SELECT coalesce(sum(freq), 0) AS freq FROM f WHERE rank > 20)
+        |SELECT token, freq FROM f WHERE rank <= 20
+        |UNION ALL SELECT sp.token, tail.freq FROM tail,
+        |(SELECT unnest(['<OOV>', '<X>', '<Y>', '<NUM>', '<PUNCT>']) AS token) sp""".stripMargin
+        .replace("\n", " "),
     "q33_confusion" ->
       """SELECT CASE WHEN value > 50 THEN 'hi' ELSE 'lo' END AS pred,
         |CASE WHEN event_id % 2 = 0 THEN 'hi' ELSE 'lo' END AS label,

@@ -148,6 +148,19 @@ class SdpSpec extends AnyFunSuite {
     assert(Labels.id("Other") == 18)
   }
 
+  test("nominalSequence: surface run between endpoints with placeholders") {
+    val toks = Array(
+      tok("cats", "NOUN", "nsubj", 1),
+      tok("really", "ADV", "advmod", 2),
+      tok("chase", "VERB", "ROOT", 2),
+      tok("mice", "NOUN", "dobj", 2))
+    val seq = Sdp.nominalSequence(toks, 0, 3)
+    assert(seq.map(_.word).toSeq == Seq("<X>", "really", "chase", "<Y>"))
+    // reversed endpoints: placeholders follow endpoint roles, not positions
+    val rev = Sdp.nominalSequence(toks, 3, 0)
+    assert(rev.map(_.word).toSeq == Seq("<Y>", "really", "chase", "<X>"))
+  }
+
   test("smartText: num wins over punct; lowercase otherwise") {
     assert(Annotator.smartText("Dog", punct = false, num = false) == "dog")
     assert(Annotator.smartText(",", punct = true, num = false) == "<PUNCT>")
