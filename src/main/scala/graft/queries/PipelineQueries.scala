@@ -83,6 +83,15 @@ object PipelineQueries {
         k = 5, nCentroids = 16, nprobe = 4)
     }),
 
+    // MLlib LSH ANN (rows-only: recall vs brute force is spec-tested)
+    "q38_lsh_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(
+        emb.select("vec_id", "embedding"),
+        emb.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("embedding")),
+        k = 5)
+    }),
+
     // embedding near-dup pairs within label blocks (threshold tuned to the
     // synthetic embedding distribution: within-label cosines top out ~0.47)
     "q24_embedding_neardup" -> ((s, dir) =>

@@ -99,6 +99,38 @@ object Similarity {
       .select(col("q_id"), col("cand_id").as("vec_id"), col("rank"), col("cos_mppm"))
   }
 
+  /** MLlib LSH scale path (J5): BucketedRandomProjectionLSH over
+    * L2-normalized vectors (Euclidean distance on the unit sphere is
+    * monotone in cosine, so LSH buckets approximate cosine neighborhoods).
+    * Seeded ⇒ deterministic. Output (q_id, vec_id, rank, dist_mppm).
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              bucketLength: Double = 0.5, numHashTables: Int = 4,
+              maxDistance: Double = 1.2): DataFrame = {
+    import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+    import org.apache.spark.ml.linalg.Vectors
+
+    val toUnitVec = udf { (arr: Seq[Float]) =>
+      val d = arr.map(_.toDouble).toArray
+      val n = math.sqrt(d.map(x => x * x).sum)
+      Vectors.dense(if (n == 0) d else d.map(_ / n))
+    }
+    val c = corpus.select(col("vec_id"), toUnitVec(col("embedding")).as("features"))
+    val q = queries.select(col("q_id"), toUnitVec(col("embedding")).as("features"))
+
+    val lsh = new BucketedRandomProjectionLSH()
+      .setBucketLength(bucketLength).setNumHashTables(numHashTables)
+      .setSeed(42L).setInputCol("features").setOutputCol("hashes")
+    val model = lsh.fit(c)
+    model.approxSimilarityJoin(q, c, maxDistance, "dist")
+      .select(col("datasetA.q_id").as("q_id"), col("datasetB.vec_id").as("vec_id"),
+        floor(col("dist") * lit(1000000000L)).cast("long").as("dist_mppm"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("dist_mppm").asc, col("vec_id").asc)))
+      .filter(col("rank") <= k)
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold_mppm within
     * label-partitioned blocks (blocking keeps the pair space bounded).
     * Self-dots are precomputed once per vector (O(N) folds) instead of per

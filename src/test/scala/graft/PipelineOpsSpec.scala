@@ -58,6 +58,17 @@ class PipelineOpsSpec extends SparkSuite {
     assert(recall >= 0.5, s"IVF recall too low: $recall") // nprobe=8 of 16 buckets
   }
 
+  test("MLlib LSH top-k achieves reasonable recall vs brute force") {
+    val corpus = emb.select("vec_id", "embedding")
+    val queries = emb.filter($"vec_id" < 10).select($"vec_id".as("q_id"), $"embedding")
+    val exact = Similarity.cosineTopK(corpus, queries, 5)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(corpus, queries, 5, numHashTables = 8)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH recall too low: $recall")
+  }
+
   test("cosineTopK is deterministic across partitionings") {
     val corpus = emb.select("vec_id", "embedding")
     val queries = emb.filter($"vec_id" < 3).select($"vec_id".as("q_id"), $"embedding")
