@@ -112,19 +112,26 @@ object Bench {
     val s1 = session(cpus)
     // warmup: JIT + codegen + parquet footer caches
     s1.read.parquet(s"$sfDir/lineitem.parquet").count()
+    // a crashed query must NOT masquerade as a fast one: its seconds are
+    // negated and its name lands in "errors" (ADVICE.md round 1)
     val results =
-      if (scalingOnly) Seq.empty[(String, Double)]
+      if (scalingOnly) Seq.empty[(String, Double, Boolean)]
       else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(s1, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(s1, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
+        val sec = (System.nanoTime() - t0) / 1e9
+        (name, if (ok) sec else -sec, ok)
       }
     s1.stop()
 
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val qs = results.map { case (k, v, _) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }.mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,""" +
         f""""kg":{"docs":$docsN,"triples":$triplesN,"sec":$kgSec%.3f,"triples_per_sec":${triplesN / kgSec}%.1f},""" +
         f""""scaling":{"tps_p8":$tps8%.1f,"tps_p32":$tps32%.1f,"efficiency":$eff%.3f,""" +
         f""""tps_p4":$tps4%.1f,"tps_p16":$tps16%.1f,"efficiency_4_16":$eff416%.3f},""" +

@@ -36,14 +36,15 @@ object Linking {
     val counts = surfaces.toDF("alias")
       .groupBy("alias").agg(count(lit(1)).as("freq"))
       .filter(col("freq") >= minCount)
-    // dictionary-sized data: the global window is a deliberate single-partition
-    // step over ~vocab rows, never over the mention stream
-    val total = counts.agg(sum("freq")).first().getLong(0).toDouble
-    counts
-      .withColumn("entity_id",
-        row_number().over(Window.orderBy(col("freq").desc, col("alias").asc)).cast("long") - 1)
-      .withColumn("prob", col("freq") / lit(total))
-      .select(col("alias"), col("entity_id"), col("freq"), col("prob"))
+    // alias count grows with the corpus (Heaps' law), so the id assignment is
+    // a range-partitioned global row number, not a single-partition window,
+    // and the normalizer is a broadcast scalar, not a driver action
+    graft.functions.Ranks.withTotal(
+      graft.functions.Ranks.globalRowNumber(
+        counts, Seq(col("freq").desc, col("alias").asc), "__rn"),
+      sum("freq"), "__total")
+      .select(col("alias"), (col("__rn") - 1).as("entity_id"), col("freq"),
+        (col("freq") / col("__total")).as("prob"))
       .as[AliasEntry]
   }
 

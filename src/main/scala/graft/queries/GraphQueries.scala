@@ -34,10 +34,14 @@ object GraphQueries {
   private def dupEdges(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    // Spark's slice(toks, -4, 4) returns [] for arrays shorter than 4 while
+    // DuckDB's toks[-4:] clamps to the whole list — guard so both engines
+    // agree on short docs (latent divergence flagged in ADVICE.md)
     val keyed = docs
       .select(col("doc_id"), concat_ws(" ", slice(col("toks"), 1, 4)).as("k"))
       .union(docs.select(col("doc_id"),
-        concat_ws(" ", slice(col("toks"), -4, 4)).as("k")))
+        concat_ws(" ",
+          when(size(col("toks")) >= 4, slice(col("toks"), -4, 4)).otherwise(col("toks"))).as("k")))
     keyed
       .withColumn("gmin", min("doc_id").over(Window.partitionBy("k")))
       .select(col("doc_id").as("src"), col("gmin").as("dst"))
@@ -46,9 +50,10 @@ object GraphQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // J1 skew path: salted repartition join == plain left join
     "q11_salted_join" -> ((s, dir) => {
-      val vocab = tokens(s, dir).groupBy("token").agg(count(lit(1)).as("freq"))
-        .withColumn("id",
-          row_number().over(Window.orderBy(col("freq").desc, col("token").asc)) - 1)
+      val vocab = graft.functions.Ranks.globalRowNumber(
+        tokens(s, dir).groupBy("token").agg(count(lit(1)).as("freq")),
+        Seq(col("freq").desc, col("token").asc), "__rn")
+        .withColumn("id", (col("__rn") - 1).cast("int"))
         .filter(col("id") < 10)
         .select(col("token").as("v_token"), col("id"))
       Linking

@@ -5,6 +5,7 @@ import graft.dedup.Dedup
 import graft.extract.Extract
 import graft.functions.Hamming64.hamming64
 import graft.functions.Portable._
+import graft.functions.Ranks
 import graft.sample.NegativeSampling
 import graft.score.NeuralScorer
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -45,26 +46,28 @@ object MiscQueries {
         .select("a", "b", "hamming")
     }),
 
-    // A6: negative-sampling smoothing p^0.75 / Σ p^0.75, integer-scaled
+    // A6: negative-sampling smoothing p^0.75 / Σ p^0.75, integer-scaled;
+    // the normalizer is a broadcast scalar, not a single-partition window
     "q29_power_smooth" -> ((s, dir) => {
       val freq = docs(s, dir)
         .select(explode(split(col("text"), " ")).as("token"))
         .filter(length(col("token")) > 0)
         .groupBy("token").agg(count(lit(1)).as("freq"))
         .withColumn("s", expr("cast(floor(pow(freq, 0.75D) * 1000000D) as bigint)"))
-      freq.withColumn("total", sum("s").over(Window.partitionBy()))
+      Ranks.withTotal(freq, sum("s"), "total")
         .select(col("token"), expr("s * 1000000L div total").as("smooth_ppm"))
     }),
 
     // A5: important-vocab override — listed tokens bypass the top-K cutoff
+    // (vocab ranked scale-safe via range-partitioned globalRowNumber)
     "q30_important_vocab" -> ((s, dir) => {
       val imp = importantTokens.map(x => s"'$x'").mkString(", ")
-      docs(s, dir)
+      val freq = docs(s, dir)
         .select(explode(split(col("text"), " ")).as("token"))
         .filter(length(col("token")) > 0)
         .groupBy("token").agg(count(lit(1)).as("freq"))
-        .withColumn("rank",
-          row_number().over(Window.orderBy(col("freq").desc, col("token").asc)))
+      Ranks.globalRowNumber(freq, Seq(col("freq").desc, col("token").asc), "__rn")
+        .withColumn("rank", col("__rn").cast("int"))
         .filter(col("rank") <= 10 || expr(s"array_contains(array($imp), token)"))
         .select("token", "freq", "rank")
     }),
@@ -132,12 +135,12 @@ object MiscQueries {
     // A3: vocab with specials appended; OOV pseudo-count = mass of the
     // truncated tail (semeval2sdp.py:227-230)
     "q37_vocab_specials" -> ((s, dir) => {
-      val freq = docs(s, dir)
-        .select(explode(split(col("text"), " ")).as("token"))
-        .filter(length(col("token")) > 0)
-        .groupBy("token").agg(count(lit(1)).as("freq"))
-        .withColumn("rank",
-          row_number().over(Window.orderBy(col("freq").desc, col("token").asc)))
+      val freq = Ranks.globalRowNumber(
+        docs(s, dir)
+          .select(explode(split(col("text"), " ")).as("token"))
+          .filter(length(col("token")) > 0)
+          .groupBy("token").agg(count(lit(1)).as("freq")),
+        Seq(col("freq").desc, col("token").asc), "rank")
       val kept = freq.filter(col("rank") <= 20).select("token", "freq")
       val tailMass = freq.filter(col("rank") > 20)
         .agg(coalesce(sum("freq"), lit(0L)).as("freq"))
@@ -179,7 +182,7 @@ object MiscQueries {
         |  floor(pow(count(*), 0.75) * 1000000)::BIGINT AS s
         |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |  WHERE len(token) > 0 GROUP BY token)
-        |SELECT token, s * 1000000 // sum(s) OVER () AS smooth_ppm FROM f""".stripMargin
+        |SELECT token, (s * 1000000 // sum(s) OVER ())::BIGINT AS smooth_ppm FROM f""".stripMargin
         .replace("\n", " "),
     "q30_important_vocab" -> {
       val imp = importantTokens.map(x => s"'$x'").mkString(", ")
@@ -214,8 +217,8 @@ object MiscQueries {
         |  row_number() OVER (ORDER BY count(*) DESC, token ASC) AS rank
         |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |  WHERE len(token) > 0 GROUP BY token),
-        |tail AS (SELECT coalesce(sum(freq), 0) AS freq FROM f WHERE rank > 20)
-        |SELECT token, freq FROM f WHERE rank <= 20
+        |tail AS (SELECT coalesce(sum(freq), 0)::BIGINT AS freq FROM f WHERE rank > 20)
+        |SELECT token, freq::BIGINT AS freq FROM f WHERE rank <= 20
         |UNION ALL SELECT sp.token, tail.freq FROM tail,
         |(SELECT unnest(['<OOV>', '<X>', '<Y>', '<NUM>', '<PUNCT>']) AS token) sp""".stripMargin
         .replace("\n", " "),

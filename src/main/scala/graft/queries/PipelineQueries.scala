@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.dedup.Dedup
 import graft.functions.Portable._
+import graft.functions.Ranks
 import graft.similarity.Similarity
 import graft.text.TextAnalysis
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -113,17 +114,20 @@ object PipelineQueries {
           .otherwise(lit("valid")).as("fold"))),
 
     // O5: deterministic weighted sampling via inverse-CDF range join —
-    // per-doc pseudo-random r_ppm lands in a token's cumulative-freq bucket
+    // per-doc pseudo-random r_ppm lands in a token's cumulative-freq bucket.
+    // The CDF is a range-partitioned global running sum (no single-partition
+    // window); cum_lo falls out of the same sum ((cum−freq) = lag(cum_hi))
     "q27_weighted_sample" -> ((s, dir) => {
       val tok = docs(s, dir)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
         .filter(length(col("token")) > 0)
-      val w = Window.orderBy(col("freq").desc, col("token").asc)
-      val vocab = tok.groupBy("token").agg(count(lit(1)).as("freq"))
-        .withColumn("total", sum("freq").over(Window.partitionBy()))
-        .withColumn("cum_hi", expr("sum(freq) over (order by freq desc, token asc) * 1000000L div total"))
-        .withColumn("cum_lo", coalesce(lag("cum_hi", 1).over(w), lit(0L)))
-        .select(col("token").as("sampled"), col("cum_lo"), col("cum_hi"))
+      val freq = tok.groupBy("token").agg(count(lit(1)).as("freq"))
+      val vocab = Ranks.globalCumSum(
+        Ranks.withTotal(freq, sum("freq"), "total"),
+        Seq(col("freq").desc, col("token").asc), col("freq"), "cum")
+        .select(col("token").as("sampled"),
+          expr("(cum - freq) * 1000000L div total").as("cum_lo"),
+          expr("cum * 1000000L div total").as("cum_hi"))
       docs(s, dir)
         .select(col("doc_id"),
           (md5num(col("doc_id").cast("string")) % 1000000L).as("r"))
@@ -205,11 +209,14 @@ object PipelineQueries {
         |len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT AS bpe_tokens
         |FROM documents""".stripMargin.replace("\n", " "),
     "q20_fingerprint" ->
-      s"""SELECT doc_id,
-         |coalesce(sum((${h30Sql("token")} % 1000003) * pos) % 2147483648, 0)::BIGINT AS fingerprint
-         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token,
-         |  generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents)
-         |WHERE len(token) > 0 GROUP BY doc_id""".stripMargin.replace("\n", " "),
+      // LEFT JOIN from documents so empty/whitespace-only docs keep a row
+      // with fingerprint 0 (matches the Spark-side empty-doc guard)
+      s"""SELECT d.doc_id, coalesce(f.fp, 0)::BIGINT AS fingerprint FROM documents d
+         |LEFT JOIN (SELECT doc_id, sum((${h30Sql("token")} % 1000003) * pos) % 2147483648 AS fp
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+         |    generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents)
+         |  WHERE len(token) > 0 GROUP BY doc_id) f ON d.doc_id = f.doc_id""".stripMargin
+        .replace("\n", " "),
     "q21_cosine_topk" ->
       """WITH e AS (SELECT vec_id, unnest(embedding::DOUBLE[]) AS u,
         |    generate_subscripts(embedding, 1) AS i FROM embeddings),

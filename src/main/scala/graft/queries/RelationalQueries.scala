@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.functions.Ranks
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -50,25 +51,32 @@ object RelationalQueries {
       tokens(s, dir).groupBy("token").agg(count(lit(1)).as("freq"))),
 
     // W2/A2: vocab rank = id by (freq desc, token asc) — deterministic
-    // tie-break the reference lacks (Counter.most_common is insertion-order)
-    "q03_vocab_rank" -> ((s, dir) =>
-      tokens(s, dir).groupBy("token").agg(count(lit(1)).as("freq"))
-        .withColumn("id",
-          row_number().over(Window.orderBy(col("freq").desc, col("token").asc)) - 1)
-        .filter(col("id") < 1000)),
+    // tie-break the reference lacks (Counter.most_common is insertion-order).
+    // Ranked via range-partitioned globalRowNumber, NOT a single-partition
+    // window — the vocabulary grows with the corpus (Heaps' law)
+    "q03_vocab_rank" -> ((s, dir) => {
+      val freq = tokens(s, dir).groupBy("token").agg(count(lit(1)).as("freq"))
+      Ranks.globalRowNumber(freq, Seq(col("freq").desc, col("token").asc), "__rn")
+        .withColumn("id", (col("__rn") - 1).cast("int"))
+        .filter(col("id") < 1000)
+        .select("token", "freq", "id")
+    }),
 
-    // A4: unigram distribution as parts-per-million via integer div
+    // A4: unigram distribution as parts-per-million via integer div; the
+    // corpus total is a broadcast 1-row scalar, not a global window
     "q04_unigram_ppm" -> ((s, dir) =>
-      tokens(s, dir).groupBy("token").agg(count(lit(1)).as("freq"))
-        .withColumn("total", sum("freq").over(Window.partitionBy()))
+      Ranks.withTotal(
+        tokens(s, dir).groupBy("token").agg(count(lit(1)).as("freq")),
+        sum("freq"), "total")
         .select(col("token"), expr("freq * 1000000L div total").as("ppm"))),
 
     // J1/P10: dictionary join with OOV default — the entity-linking primitive
     // (vocab2idx, semeval2sdp.py:264-271): top-100 vocab, misses → id 100
     "q05_dict_join_oov" -> ((s, dir) => {
-      val vocab = tokens(s, dir).groupBy("token").agg(count(lit(1)).as("freq"))
-        .withColumn("id",
-          row_number().over(Window.orderBy(col("freq").desc, col("token").asc)) - 1)
+      val vocab = Ranks.globalRowNumber(
+        tokens(s, dir).groupBy("token").agg(count(lit(1)).as("freq")),
+        Seq(col("freq").desc, col("token").asc), "__rn")
+        .withColumn("id", (col("__rn") - 1).cast("int"))
         .filter(col("id") < 100)
         .select(col("token").as("v_token"), col("id"))
       tokens(s, dir)
@@ -139,7 +147,9 @@ object RelationalQueries {
          |row_number() OVER (ORDER BY count(*) DESC, token ASC) - 1 AS id
          |FROM ($tokensSql) GROUP BY token) WHERE id < 1000""".stripMargin.replace("\n", " "),
     "q04_unigram_ppm" ->
-      s"""SELECT token, freq * 1000000 // sum(freq) OVER () AS ppm FROM (
+      // `sum() OVER ()` promotes to HUGEINT in DuckDB and BIGINT//HUGEINT stays
+      // HUGEINT — cast back so the driver's dtype-sensitive hash matches Spark
+      s"""SELECT token, (freq * 1000000 // sum(freq) OVER ())::BIGINT AS ppm FROM (
          |SELECT token, count(*) AS freq FROM ($tokensSql) GROUP BY token)""".stripMargin
         .replace("\n", " "),
     "q05_dict_join_oov" ->

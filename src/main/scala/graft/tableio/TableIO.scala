@@ -45,21 +45,35 @@ object TableIO {
     Snapshot(field("version").toLong, field("dataDir"), field("rows").toLong, field("schema"))
   }
 
-  /** Commit `df` as the next snapshot of `table`. Returns the snapshot. */
+  /** Commit `df` as the next snapshot of `table`. Returns the snapshot.
+    *
+    * Crash-idempotency: a job that died after writing v<N>.json but before
+    * updating CURRENT leaves an orphaned manifest; the next version is
+    * therefore max(all manifests, CURRENT) + 1 so a rerun skips the orphan
+    * instead of colliding with it, and the manifest move itself is
+    * REPLACE_EXISTING (contents are regenerated deterministically) so even a
+    * same-version retry can never wedge the table (ADVICE.md round 1).
+    */
   def commit(df: DataFrame, table: String, partitionBy: Seq[String] = Nil): Snapshot = {
-    val version = currentVersion(table).map(_ + 1).getOrElse(0L)
+    val version =
+      (currentVersion(table).toSeq ++ versions(table)).reduceOption(_ max _).map(_ + 1).getOrElse(0L)
     val dataDir = s"$table/data/snap-$version"
-    val writer = df.write.mode("overwrite")
+    // row count observed during the write itself (one pass over the data) —
+    // re-reading the freshly written parquet just to count would double the
+    // I/O of every stage commit
+    val obs = org.apache.spark.sql.Observation(s"tableio-rows-$version")
+    val writer = df.observe(obs, org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)).as("rows")).write.mode("overwrite")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer).parquet(dataDir)
-
-    val rows = df.sparkSession.read.parquet(dataDir).count()
+    val rows = obs.get("rows").asInstanceOf[Long]
     Files.createDirectories(snapDir(table))
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
     val manifest =
       s"""{"version": $version, "dataDir": "${esc(dataDir)}", "rows": $rows, "schema": "${esc(df.schema.json)}"}"""
     val tmp = Files.createTempFile(snapDir(table), "manifest", ".tmp")
     Files.writeString(tmp, manifest)
-    Files.move(tmp, snapDir(table).resolve(s"v$version.json"), StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, snapDir(table).resolve(s"v$version.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     val curTmp = Files.createTempFile(snapDir(table), "current", ".tmp")
     Files.writeString(curTmp, version.toString)
     Files.move(curTmp, snapDir(table).resolve("CURRENT"),

@@ -84,14 +84,20 @@ object TextAnalysis {
     * arithmetic makes it partition-invariant and oracle-exact.
     */
   def fingerprint(docs: DataFrame): DataFrame =
+    // empty/whitespace-only docs: sequence(1, 0) would yield a DESCENDING
+    // [1, 0] and zip_with would pad with nulls, propagating NULL through the
+    // fold — guard the sequence bound and skip null-padded slots so empty
+    // docs fingerprint to 0 on both engines (latent bug flagged in ADVICE.md)
     docs.select(col("doc_id"),
       expr(
-        """aggregate(
+        """coalesce(aggregate(
           |  zip_with(
           |    filter(split(text, ' '), t -> length(t) > 0),
-          |    sequence(1, size(filter(split(text, ' '), t -> length(t) > 0))),
+          |    sequence(1, greatest(size(filter(split(text, ' '), t -> length(t) > 0)), 1)),
           |    (t, p) -> struct(t as t, p as p)),
           |  0L,
-          |  (acc, s) -> (acc + (cast(conv(substring(md5(s.t), 1, 15), 16, 10) as bigint) % 1000000007L % 1000003L) * s.p) % 2147483648L)
+          |  (acc, s) -> if(s.t is null, acc,
+          |    (acc + (cast(conv(substring(md5(s.t), 1, 15), 16, 10) as bigint) % 1000000007L % 1000003L) * s.p) % 2147483648L)),
+          |  0L)
           |""".stripMargin).as("fingerprint"))
 }

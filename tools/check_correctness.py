@@ -33,8 +33,21 @@ def main(sf_dir, out_dir):
         want = con.sql(
             f"SELECT {', '.join(chr(34)+c+chr(34) for c in wcols)} FROM ({oracles[name]})").fetchall()
         want = sorted(map(tuple, want))
+        # dtype parity: the driver's hash is dtype-sensitive (round 1: DuckDB
+        # HUGEINT promotion of sum()/sum() OVER () broke q04/q29/q37 while this
+        # value-only compare passed). Normalize int widths (parquet INT32 vs
+        # BIGINT both hash as int64 driver-side) but flag HUGEINT/DECIMAL drift.
+        def norm(t):
+            t = str(t).upper()
+            return "BIGINT" if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT") else t
+        gt = {c: norm(t) for c, t in zip(got_rel.columns, got_rel.types)}
+        wt = {c: norm(t) for c, t in zip(want_rel.columns, want_rel.types)}
         if cols != wcols:
             print(f"[FAIL-schema] {name}: spark={cols} oracle={wcols}")
+            n_fail += 1
+        elif any(gt[c] != wt[c] for c in cols):
+            bad = {c: (gt[c], wt[c]) for c in cols if gt[c] != wt[c]}
+            print(f"[FAIL-dtype] {name}: {bad}")
             n_fail += 1
         elif got != want:
             n_fail += 1
