@@ -100,6 +100,25 @@ object Extract {
     cands.filter(c => bc.value.contains(SignatureScorer.signatureKey(c.path)))
   }
 
+  /** Collect-free whitelist gate: the same is_ok_sdp v2 semantics as
+    * `filterByWhitelist`, but the whitelist stays a DataFrame and the gate is
+    * a left-semi join on the path signature. At corpus scale the signature
+    * dictionary grows past what a driver-side Set should hold; as a join,
+    * AQE picks a broadcast hash join while it is small and degrades to a
+    * shuffle join (never a driver OOM) when it is not.
+    */
+  def filterByWhitelistDF(
+      cands: Dataset[SdpCandidate],
+      whitelist: DataFrame): Dataset[SdpCandidate] = {
+    val spark = cands.sparkSession
+    import spark.implicits._
+    cands.map(c => (c, SignatureScorer.signatureKey(c.path)))
+      .toDF("c", "sig")
+      .join(whitelist.select("sig"), Seq("sig"), "left_semi")
+      .select("c.*")
+      .as[SdpCandidate]
+  }
+
   /** Score whitelisted candidates into triples (deterministic signature
     * scorer; the broadcast-model mapPartitions variant lives in score/).
     */

@@ -45,19 +45,25 @@ object KgPipeline {
     val triples = log.runStage("triples") {
       import graft.model.SdpCandidate
       val cands = candidates.as[SdpCandidate]
-      val wl = Extract.signatureWhitelist(cands, whitelistMinCount)
-        .select("sig").as[String].collect().toSet
+      // whitelist + vocab gates stay DataFrames end-to-end: no corpus-derived
+      // dictionary is ever collected to the driver (its size grows with the
+      // corpus — the classic driver-heap bottleneck at 100×). AQE turns these
+      // semi-joins into broadcast joins while the dictionaries are small.
+      val wl = Extract.signatureWhitelist(cands, whitelistMinCount).select("sig")
       // is_ok_sdp rule 1 (semeval2sdp.py:245-262): drop candidates whose
       // target surfaces are out-of-vocabulary (< 2 occurrences corpus-wide)
       val vocab = candidates.select(col("x").as("surface"))
         .union(candidates.select(col("y").as("surface")))
         .groupBy("surface").agg(count(lit(1)).as("n"))
         .filter(col("n") >= 2)
-        .select("surface").as[String].collect().toSet
-      val bcVocab = spark.sparkContext.broadcast(vocab)
-      val inVocab = Extract.filterByWhitelist(cands, wl)
-        .filter(c => bcVocab.value.contains(c.x) && bcVocab.value.contains(c.y))
-      Extract.triples(inVocab).toDF()
+        .select("surface")
+      val gated = Extract.filterByWhitelistDF(cands, wl)
+        .join(vocab.withColumnRenamed("surface", "__xs"),
+          col("x") === col("__xs"), "left_semi")
+        .join(vocab.withColumnRenamed("surface", "__ys"),
+          col("y") === col("__ys"), "left_semi")
+        .as[SdpCandidate]
+      Extract.triples(gated).toDF()
     }
 
     val aliasDict = log.runStage("alias_dict") {

@@ -37,12 +37,13 @@ object KgQueries {
 
     // emitted (subj, pred, obj) triples after whitelist gate + scoring
     "kg_triples" -> ((s, dir) => {
-      import s.implicits._
-      val cands = Extract.candidates(sentences(s, dir)).cache()
-      val wl = Extract.signatureWhitelist(cands, minCount = 3)
-        .select("sig").as[String].collect().toSet
-      val out = Extract.triples(Extract.filterByWhitelist(cands, wl)).toDF()
-      out
+      // persist: the whitelist is an aggregation of the same candidate stream
+      // the gate filters, so without reuse the extraction would run twice.
+      // The whitelist itself stays a DataFrame (collect-free semi-join).
+      val cands = Extract.candidates(sentences(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val wl = Extract.signatureWhitelist(cands, minCount = 3).select("sig")
+      Extract.triples(Extract.filterByWhitelistDF(cands, wl)).toDF()
     }),
 
     // the FULL checkpointed run: extract → link → canonicalize → emit

@@ -150,15 +150,17 @@ object MiscQueries {
       kept.unionByName(specials)
     }),
 
-    // §2.9: negative sampling (rows-only: keyed-RNG corruption, spec-gated)
+    // §2.9: negative sampling (rows-only: keyed-RNG corruption, spec-gated).
+    // Collect-free: the target pool stays a DataFrame (indexed join), never a
+    // driver-side IndexedSeq — equality with the broadcast path is
+    // spec-verified (ScoringSamplingSpec).
     "q36_negative_sampling" -> ((s, dir) => {
-      import s.implicits._
       val cands = Extract.candidates(
         Extract.docsToSentences(Corpus.fromDocuments(s, dir)))
-      val targets = cands.select("x").distinct().as[String].collect().sorted.toIndexedSeq
-      NegativeSampling.withNegatives(cands, targets, targets, negPer = 2)
-        .map(l => (l.cand.doc_id, l.cand.span_idx, l.cand.x, l.cand.y, l.label, l.copy))
-        .toDF("doc_id", "span_idx", "x", "y", "label", "copy")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pool = cands.select(col("x")).distinct()
+      NegativeSampling.withNegativesDistributed(cands, pool, negPer = 2)
+        .select("doc_id", "span_idx", "x", "y", "label", "copy")
     }))
 
   val oracles: Map[String, String] = Map(

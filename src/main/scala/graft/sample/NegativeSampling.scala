@@ -1,7 +1,9 @@
 package graft.sample
 
+import graft.functions.Ranks
 import graft.model.SdpCandidate
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
 
 /** Negative sampling — the reference's distinctive batch operator
   * (data_handler.py:126-236 `_generate_batch`): per true row emit `negPer`
@@ -74,5 +76,61 @@ object NegativeSampling {
           LabeledCandidate(corrupted, 0, k)
         }
     }
+  }
+
+  /** Collect-free negative sampling: identical draw stream and output rows as
+    * `withNegatives` (spec-verified), but the sample pool is never
+    * round-tripped through the driver. Endpoint/word corruptions are drawn as
+    * POOL INDICES by the same keyed RNG, then resolved by joining an indexed
+    * pool table (`Ranks.globalRowNumber` over surface asc — the same 0-based
+    * ordering `targets.sorted` gives the broadcast variant). The only driver
+    * traffic is the pool SIZE (one scalar); the index joins broadcast while
+    * the pool is dictionary-sized and degrade to shuffle joins beyond that.
+    *
+    * `pool` is a single string column of candidate surfaces (used for both
+    * endpoint and path-word draws, as q36 does). Supports negLevel ≤ 1 — the
+    * reference's default; deeper corruption would need one join per level.
+    */
+  def withNegativesDistributed(
+      cands: Dataset[SdpCandidate],
+      pool: DataFrame,
+      negPer: Int = 3,
+      negLevel: Int = 1,
+      seed: Long = 42L): DataFrame = {
+    require(negLevel <= 1, "distributed path supports negLevel <= 1")
+    val spark = cands.sparkSession
+    import spark.implicits._
+    val idx = Ranks.globalRowNumber(
+      pool.toDF("surface").distinct(), Seq(col("surface").asc), "__rn")
+      .select((col("__rn") - 1).as("idx"), col("surface"))
+    val poolSize = idx.count().toInt // O(1) scalar, not the pool
+    val skel = cands.flatMap { c =>
+      Iterator.single((c, 1, 0, -1L, -1L, -1, -1L)) ++
+        (1 to negPer).iterator.map { k =>
+          if (k == 1) (c.copy(x = c.y, y = c.x), 0, k, -1L, -1L, -1, -1L)
+          else {
+            val rng = new KeyedRng(mix(seed, c.doc_id, c.span_idx, c.x, c.y, k))
+            val xi = rng.nextInt(poolSize).toLong
+            val yi = if (rng.nextInt(2) == 1) rng.nextInt(poolSize).toLong else -1L
+            val (wp, wi) =
+              if (c.path.length > 2 && negLevel > 0)
+                (1 + rng.nextInt(c.path.length - 2), rng.nextInt(poolSize).toLong)
+              else (-1, -1L)
+            (c, 0, k, xi, yi, wp, wi)
+          }
+        }
+    }.toDF("c", "label", "copy", "x_idx", "y_idx", "w_pos", "w_idx")
+    skel
+      .join(idx.select(col("idx").as("x_idx"), col("surface").as("__x")), Seq("x_idx"), "left")
+      .join(idx.select(col("idx").as("y_idx"), col("surface").as("__y")), Seq("y_idx"), "left")
+      .join(idx.select(col("idx").as("w_idx"), col("surface").as("__w")), Seq("w_idx"), "left")
+      .select(
+        col("c.doc_id").as("doc_id"), col("c.span_idx").as("span_idx"),
+        coalesce(col("__x"), col("c.x")).as("x"),
+        coalesce(col("__y"), col("c.y")).as("y"),
+        expr("CASE WHEN w_pos >= 0 THEN transform(c.path, (st, i) -> " +
+          "IF(i = w_pos, named_struct('word', __w, 'dep', st.dep, 'pos', st.pos), st)) " +
+          "ELSE c.path END").as("path"),
+        col("c.source").as("source"), col("label"), col("copy"))
   }
 }

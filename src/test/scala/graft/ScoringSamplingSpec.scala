@@ -57,6 +57,25 @@ class ScoringSamplingSpec extends SparkSuite {
     out.unpersist()
   }
 
+  test("distributed negative sampling equals the broadcast path row-for-row") {
+    val targets = cands.select("x").distinct().as[String].collect().sorted.toIndexedSeq
+    val viaBroadcast = NegativeSampling
+      .withNegatives(cands, targets, targets, negPer = 3, negLevel = 1)
+      .collect()
+      .map(l => (l.cand.doc_id, l.cand.span_idx, l.cand.x, l.cand.y,
+        l.cand.path.map(p => (p.word, p.dep, p.pos)).toSeq, l.cand.source, l.label, l.copy))
+      .toSet
+    val viaJoin = NegativeSampling
+      .withNegativesDistributed(cands, cands.select(col("x")), negPer = 3, negLevel = 1)
+      .as[(String, Int, String, String, Array[graft.model.PathStep], String, Int, Int)]
+      .collect()
+      .map { case (d, s, x, y, p, src, lab, cp) =>
+        (d, s, x, y, p.map(st => (st.word, st.dep, st.pos)).toSeq, src, lab, cp) }
+      .toSet
+    assert(viaJoin == viaBroadcast)
+    assert(viaJoin.nonEmpty)
+  }
+
   test("hamming64 native expression: eval, codegen, SQL registration") {
     val df = Seq((0L, 0L), (0L, -1L), (0xF0L, 0x0FL), (123L, 123L)).toDF("a", "b")
     val got = df.select(Hamming64.hamming64(col("a"), col("b"))).as[Int].collect().toSeq
