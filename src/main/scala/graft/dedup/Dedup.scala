@@ -45,14 +45,19 @@ object Dedup {
   /** MinHash signatures as rows (doc_id, perm, minhash), perms 0..numPerms-1.
     * Row form (not array) keeps the plan a plain hash aggregation.
     */
-  def minhash(docs: DataFrame, shingleN: Int = 3, numPerms: Int = 8): DataFrame = {
-    val sh = shingles(docs, shingleN).withColumn("h", h30(col("shingle")))
-    sh
+  def minhash(docs: DataFrame, shingleN: Int = 3, numPerms: Int = 8): DataFrame =
+    minhashFromShingles(shingles(docs, shingleN), numPerms)
+
+  /** minhash over an existing shingle table — callers running multiple
+    * dedup stages persist `shingles()` ONCE and feed it to
+    * minhash/jaccard, instead of re-shingling the corpus per stage.
+    */
+  def minhashFromShingles(sh: DataFrame, numPerms: Int = 8): DataFrame =
+    sh.withColumn("h", h30(col("shingle")))
       .select(col("doc_id"), explode(sequence(lit(0L), lit(numPerms - 1L))).as("perm"), col("h"))
       .withColumn("ph", permute(col("h"), col("perm")))
       .groupBy("doc_id", "perm")
       .agg(min("ph").as("minhash"))
-  }
 
   /** LSH banding: group `rowsPerBand` consecutive perms into a band key;
     * docs sharing any (band, band_hash) become candidate pairs (a < b).
@@ -74,8 +79,13 @@ object Dedup {
     * plus jaccard in parts-per-million (integer div — oracle-exact).
     * `pairs` has columns (a, b).
     */
-  def jaccard(pairs: DataFrame, docs: DataFrame, shingleN: Int = 3): DataFrame = {
-    val sh = shingles(docs, shingleN)
+  def jaccard(pairs: DataFrame, docs: DataFrame, shingleN: Int = 3): DataFrame =
+    jaccardFromShingles(pairs, shingles(docs, shingleN))
+
+  /** jaccard over an existing (persisted) shingle table — see
+    * `minhashFromShingles`.
+    */
+  def jaccardFromShingles(pairs: DataFrame, sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = pairs
       .join(sh.select(col("doc_id").as("a"), col("shingle")), Seq("a"))

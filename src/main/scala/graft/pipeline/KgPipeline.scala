@@ -93,7 +93,10 @@ object KgPipeline {
         .join(byStem, col("stem") === col("stem_alias"))
         .select(col("src_id").as("src"), col("dst_id").as("dst"))
       val selfEdges = d.select(col("entity_id").as("src"), col("entity_id").as("dst"))
-      ConnectedComponents.run(variantEdges.union(selfEdges))
+      // CC rounds checkpoint durably inside the run dir: a mid-CC kill
+      // resumes from the last committed labels instead of restarting
+      ConnectedComponents.run(variantEdges.union(selfEdges),
+        ckptDir = Some(s"$runDir/cc"))
         .select(col("id").as("entity_id"), col("component").as("canonical_id"))
     }
 

@@ -42,10 +42,14 @@ object PipelineQueries {
     // MinHash signatures (8 perms over 3-gram shingles)
     "q14_minhash" -> ((s, dir) => Dedup.minhash(docs(s, dir))),
 
-    // LSH candidates + exact jaccard verify
+    // LSH candidates + exact jaccard verify. The shingle table feeds FOUR
+    // consumers (minhash, both sides of the intersection join, sizes) — it is
+    // computed and persisted once, not re-derived from text per stage
     "q15_lsh_jaccard" -> ((s, dir) => {
-      val d = docs(s, dir)
-      Dedup.jaccard(Dedup.lshCandidates(Dedup.minhash(d)), d)
+      val sh = Dedup.shingles(docs(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Dedup.jaccardFromShingles(
+        Dedup.lshCandidates(Dedup.minhashFromShingles(sh)), sh)
     }),
 
     // 16-bit SimHash
@@ -97,6 +101,12 @@ object PipelineQueries {
     // synthetic embedding distribution: within-label cosines top out ~0.47)
     "q24_embedding_neardup" -> ((s, dir) =>
       Similarity.embeddingNearDup(
+        t(s, dir, "embeddings").select("vec_id", "label", "embedding"), 350000000L)),
+
+    // scale path of q24: label × sign-band double blocking bounds hot-label
+    // blocks; deterministic banding keeps it oracle-exact
+    "q39_blocked_neardup" -> ((s, dir) =>
+      Similarity.embeddingNearDupBlocked(
         t(s, dir, "embeddings").select("vec_id", "label", "embedding"), 350000000L)),
 
     // streaming-shaped tumbling-window agg (batch equivalent of the
@@ -259,6 +269,24 @@ object PipelineQueries {
         |    sum(floor(x.u * x.u * 1000000))::BIGINT AS daa,
         |    sum(floor(y.u * y.u * 1000000))::BIGINT AS dbb
         |  FROM e x JOIN e y ON x.i = y.i AND x.label = y.label AND x.vec_id < y.vec_id
+        |  GROUP BY x.vec_id, y.vec_id)
+        |SELECT a, b, cos_mppm FROM (
+        |  SELECT a, b, floor(dab / sqrt(daa * dbb) * 1000000000)::BIGINT AS cos_mppm FROM cp)
+        |WHERE cos_mppm >= 350000000""".stripMargin.replace("\n", " "),
+    "q39_blocked_neardup" ->
+      """WITH e AS (SELECT vec_id, label, unnest(embedding::DOUBLE[]) AS u,
+        |    generate_subscripts(embedding, 1) AS i FROM embeddings),
+        |bands AS (SELECT vec_id, label,
+        |    sum(CASE WHEN u > 0 THEN 1::BIGINT << (i - 1) ELSE 0 END)::BIGINT AS band
+        |  FROM e WHERE i <= 8 GROUP BY vec_id, label),
+        |cp AS (
+        |  SELECT x.vec_id AS a, y.vec_id AS b,
+        |    sum(floor(x.u * y.u * 1000000))::BIGINT AS dab,
+        |    sum(floor(x.u * x.u * 1000000))::BIGINT AS daa,
+        |    sum(floor(y.u * y.u * 1000000))::BIGINT AS dbb
+        |  FROM e x JOIN e y ON x.i = y.i AND x.label = y.label AND x.vec_id < y.vec_id
+        |  JOIN bands ba ON ba.vec_id = x.vec_id JOIN bands bb ON bb.vec_id = y.vec_id
+        |  WHERE ba.band = bb.band
         |  GROUP BY x.vec_id, y.vec_id)
         |SELECT a, b, cos_mppm FROM (
         |  SELECT a, b, floor(dab / sqrt(daa * dbb) * 1000000000)::BIGINT AS cos_mppm FROM cp)

@@ -61,9 +61,14 @@ object Similarity {
   def ivfAssign(corpus: DataFrame, k: Int): DataFrame = {
     val centroids = corpus.filter(col("vec_id") < k)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cent"))
+      .withColumn("dcent", dotScaled("cent", "cent"))
     corpus.select(col("vec_id"), col("embedding"))
+      // self-dot once per vector, not once per (vector, centroid) pair
+      .withColumn("dvv", dotScaled("embedding", "embedding"))
       .join(broadcast(centroids))
-      .withColumn("cos", cosine("embedding", "cent"))
+      .withColumn("cos",
+        dotScaled("embedding", "cent").cast("double") /
+          sqrt(col("dvv").cast("double") * col("dcent").cast("double")))
       .withColumn("cos_mppm", floor(col("cos") * lit(1000000000L)).cast("long"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("cos_mppm").desc, col("centroid_id").asc)))
@@ -73,25 +78,39 @@ object Similarity {
 
   /** IVF search: probe the `nprobe` best buckets for each query, then exact
     * top-k within the probed buckets only.
+    *
+    * Fold economy (round-1 verdict): self-dot products are computed ONCE per
+    * query / centroid / candidate row and carried as columns — the per-pair
+    * work is a single cross-dot fold, not three. Callers that keep a
+    * materialized IVF index pass it via `assign` so the coarse quantization
+    * isn't recomputed per search.
     */
   def ivfSearch(corpus: DataFrame, queries: DataFrame, k: Int,
-                nCentroids: Int, nprobe: Int): DataFrame = {
-    val assign = ivfAssign(corpus, nCentroids)
+                nCentroids: Int, nprobe: Int,
+                assign: Option[DataFrame] = None): DataFrame = {
+    val asg = assign.getOrElse(ivfAssign(corpus, nCentroids))
     val centroids = corpus.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cent"))
+      .withColumn("dcent", dotScaled("cent", "cent"))
     val probes = queries.select(col("q_id"), col("embedding").as("qe"))
+      .withColumn("dqq", dotScaled("qe", "qe"))
       .join(broadcast(centroids))
-      .withColumn("cos", cosine("qe", "cent"))
+      .withColumn("cos",
+        dotScaled("qe", "cent").cast("double") /
+          sqrt(col("dqq").cast("double") * col("dcent").cast("double")))
       .withColumn("rn", row_number().over(
         Window.partitionBy("q_id").orderBy(col("cos").desc, col("centroid_id").asc)))
       .filter(col("rn") <= nprobe)
-      .select(col("q_id"), col("qe"), col("centroid_id"))
+      .select(col("q_id"), col("qe"), col("dqq"), col("centroid_id"))
     probes
-      .join(assign, Seq("centroid_id"))
-      .join(corpus.select(col("vec_id").as("cand_id"), col("embedding").as("ce")),
+      .join(asg, Seq("centroid_id"))
+      .join(corpus.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+        .withColumn("dcc", dotScaled("ce", "ce")),
         col("vec_id") === col("cand_id"))
       .filter(col("q_id") =!= col("cand_id"))
-      .withColumn("cos", cosine("qe", "ce"))
+      .withColumn("cos",
+        dotScaled("qe", "ce").cast("double") /
+          sqrt(col("dqq").cast("double") * col("dcc").cast("double")))
       .withColumn("cos_mppm", floor(col("cos") * lit(1000000000L)).cast("long"))
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("cos_mppm").desc, col("cand_id").asc)))
@@ -135,7 +154,40 @@ object Similarity {
     * label-partitioned blocks (blocking keeps the pair space bounded).
     * Self-dots are precomputed once per vector (O(N) folds) instead of per
     * pair (O(pairs) folds) — 3× fewer folds on the quadratic step.
+    *
+    * This is the EXACT baseline: within-label recall is 1.0, but a hot label
+    * is a quadratic block. At corpus scale use `embeddingNearDupBlocked`,
+    * which sub-blocks each label by an LSH sign band.
     */
+  /** Scale path of `embeddingNearDup`: double blocking on
+    * (label, sign-band). The band is the 8-bit hyperplane-sign signature of
+    * the first 8 embedding dims (axis-plane LSH) — near-identical vectors
+    * land in the same band with high probability, and a hot label no longer
+    * yields one quadratic block: the pair space is bounded by
+    * (label × band) bucket sizes. Deterministic and engine-portable, so the
+    * whole operator stays oracle-checkable (q39).
+    */
+  def embeddingNearDupBlocked(corpus: DataFrame, thresholdMppm: Long): DataFrame = {
+    val band = expr(
+      "aggregate(zip_with(slice(embedding, 1, 8), sequence(0, 7), " +
+        "(x, i) -> IF(cast(x as double) > 0D, shiftleft(1L, i), 0L)), 0L, (a, b) -> a + b)")
+    val withNorm = corpus
+      .select(col("label").as("lbl"), col("vec_id"), col("embedding"))
+      .withColumn("band", band)
+      .withColumn("selfdot", dotScaled("embedding", "embedding"))
+    val a = withNorm.select(col("lbl"), col("band"), col("vec_id").as("a"),
+      col("embedding").as("ea"), col("selfdot").as("daa"))
+    val b = withNorm.select(col("lbl"), col("band"), col("vec_id").as("b"),
+      col("embedding").as("eb"), col("selfdot").as("dbb"))
+    a.join(b, Seq("lbl", "band")).filter(col("a") < col("b"))
+      .withColumn("cos",
+        dotScaled("ea", "eb").cast("double") /
+          sqrt(col("daa").cast("double") * col("dbb").cast("double")))
+      .withColumn("cos_mppm", floor(col("cos") * lit(1000000000L)).cast("long"))
+      .filter(col("cos_mppm") >= thresholdMppm)
+      .select("a", "b", "cos_mppm")
+  }
+
   def embeddingNearDup(corpus: DataFrame, thresholdMppm: Long): DataFrame = {
     val withNorm = corpus.select(col("label").as("lbl"), col("vec_id"), col("embedding"))
       .withColumn("selfdot", dotScaled("embedding", "embedding"))

@@ -53,6 +53,32 @@ class ResumeSpec extends SparkSuite {
     assert(log.metrics(Seq("s1")).select("rows").first().getLong(0) == 1L)
   }
 
+  test("connected components: mid-run kill resumes from durable labels exactly") {
+    import graft.canon.ConnectedComponents
+    // a path graph (diameter > checkpoint interval) so convergence takes
+    // several rounds and a mid-run kill leaves genuinely partial labels
+    val n = 12L
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("src", "dst")
+    val clean = ConnectedComponents.run(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(clean.forall(_._2 == 0L), "path graph collapses to component 0")
+
+    // "kill" after 3 rounds (one durable checkpoint at round 2 with
+    // checkpointEvery=2), then resume with the same ckptDir
+    val ckpt = tmpDir("graft-cc")
+    ConnectedComponents.run(edges, maxIter = 3, checkpointEvery = 2,
+      ckptDir = Some(ckpt))
+    assert(TableIO.currentVersion(s"$ckpt/cc_labels").isDefined,
+      "durable label snapshot must exist after the partial run")
+    val partial = TableIO.read(spark, s"$ckpt/cc_labels").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(partial.exists(_._2 != 0L), "partial run must not be converged yet")
+    val resumed = ConnectedComponents.run(edges, checkpointEvery = 2,
+      ckptDir = Some(ckpt)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(resumed == clean, "resumed CC must equal the clean run")
+  }
+
   test("pipeline: kill-and-resume reproduces the fresh-run result exactly") {
     val freshDir = tmpDir("graft-fresh")
     val resumeDir = tmpDir("graft-resume")
