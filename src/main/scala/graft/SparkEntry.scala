@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{GraphQueries, KgQueries, MiscQueries, PipelineQueries, RelationalQueries}
+import graft.queries.{GraphQueries, KgQueries, MiscQueries, ModelQueries, PipelineQueries, RelationalQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -13,7 +13,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ GraphQueries.queries ++
-      PipelineQueries.queries ++ MiscQueries.queries ++ KgQueries.queries
+      PipelineQueries.queries ++ MiscQueries.queries ++ ModelQueries.queries ++
+      KgQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops (the kg_*

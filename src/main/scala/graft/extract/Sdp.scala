@@ -150,6 +150,22 @@ object Sdp {
     seq
   }
 
+  /** P12: faithful reverse-path duplication (semeval_data_helper.py:193-200,
+    * wiki_and_semeval2sdp.py:430-441): the reversed candidate walks the SDP
+    * from the other end — steps reversed wholesale, the new first/last step
+    * WORDS rewritten to `<X>`/`<Y>` (they were `<Y>`/`<X>`), and the target
+    * pair swapped. An involution on well-formed candidates:
+    * reverse(reverse(c)) == c (SdpProperties).
+    */
+  def reverseCandidate(c: graft.model.SdpCandidate): graft.model.SdpCandidate = {
+    val rev = c.path.reverse
+    if (rev.nonEmpty) {
+      rev(0) = rev(0).copy(word = "<X>")
+      rev(rev.length - 1) = rev(rev.length - 1).copy(word = "<Y>")
+    }
+    c.copy(x = c.y, y = c.x, path = rev)
+  }
+
   /** Drop `<PUNCT>` steps (post_process_sdp, semeval2sdp.py:239-243). */
   def postProcess(path: Array[PathStep]): Array[PathStep] =
     path.filter(_.word != "<PUNCT>")

@@ -1,0 +1,62 @@
+package graft.queries
+
+import graft.corpus.Corpus
+import graft.extract.{Extract, Sdp}
+import graft.functions.Ranks
+import graft.score.{NeuralScorer, TfidfBaseline}
+import graft.similarity.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Model-side operator coverage (SURVEY.md §2 M-rows) as registry queries.
+  * The dependency parse + float model make these non-SQL-expressible, so they
+  * are rows-only for the driver; their correctness gate is
+  * ModelOpsSpec (hand-computed fixtures + invariants).
+  */
+object ModelQueries {
+
+  private def cands(s: SparkSession, dir: String) =
+    Extract.candidates(Extract.docsToSentences(Corpus.fromDocuments(s, dir)))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // M3 + M10: unsupervised bilinear logit x^T diag(h) y and the twin
+    // single-endpoint logits, one GRU encode per candidate
+    "q40_unsup_scores" -> ((s, dir) => NeuralScorer.unsupScores(cands(s, dir))),
+
+    // M11: classification over the masked-mean composition
+    "q41_mean_composition" -> ((s, dir) =>
+      NeuralScorer.scoreMean(cands(s, dir)).toDF()
+        .select("subj", "pred", "obj", "doc_id", "span_idx")),
+
+    // M8: similarity reps [x⊙h ; y] materialized as an embedding table, then
+    // cosine top-k over them (query set = first 5 candidates in the
+    // deterministic rep ordering)
+    "q42_sim_rep_topk" -> ((s, dir) => {
+      val reps = Ranks.globalRowNumber(
+        NeuralScorer.simRepTable(cands(s, dir)),
+        Seq(col("doc_id").asc, col("span_idx").asc, col("x").asc, col("y").asc),
+        "__rn")
+        .select((col("__rn") - 1).as("vec_id"), col("embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Similarity.cosineTopK(
+        reps,
+        reps.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("embedding")),
+        k = 5)
+    }),
+
+    // M16: TF-IDF + logistic-regression baseline over the labeled candidates
+    "q43_tfidf_lr" -> ((s, dir) => TfidfBaseline.predictions(cands(s, dir))),
+
+    // P12 faithful: forward ∪ reversed SdpCandidates with last-step word
+    // rewrite and target reduction (not just the token-sequence shape of q34)
+    "q44_reverse_sdp" -> ((s, dir) => {
+      import s.implicits._
+      val c = cands(s, dir)
+      val both = c.map(x => (x, "fwd")).union(c.map(x => (Sdp.reverseCandidate(x), "rev")))
+      both.map { case (cc, d) =>
+        (cc.doc_id, cc.span_idx, d, cc.x, cc.y, cc.path.length,
+          cc.path.headOption.map(_.word).getOrElse(""),
+          cc.path.lastOption.map(_.word).getOrElse(""))
+      }.toDF("doc_id", "span_idx", "dir", "x", "y", "path_len", "first_word", "last_word")
+    }))
+}

@@ -117,6 +117,14 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"),
           sum(expr("cast(floor(value * 1000000D) as bigint)")).as("value_sum_micro"))),
 
+    // O1: seeded global shuffle + positional split — the reference's
+    // shuffle-then-slice (shuffle_wiki.py:14-20) as a keyed-hash permutation
+    // (partition-stable, unlike orderBy(rand(seed))) with a scale-safe rank
+    "q45_seeded_shuffle" -> ((s, dir) =>
+      graft.sample.Shuffles.seededSplit(
+        docs(s, dir).select(col("doc_id")), "doc_id", seed = 42L)
+        .select("doc_id", "pos", "fold")),
+
     // deterministic train/valid split by md5 bucket (O3)
     "q26_split" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -295,6 +303,13 @@ object PipelineQueries {
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
         |sum(floor(value * 1000000)::BIGINT)::BIGINT AS value_sum_micro
         |FROM events GROUP BY 1, 2""".stripMargin.replace("\n", " "),
+    "q45_seeded_shuffle" ->
+      s"""WITH r AS (SELECT doc_id, ${md5numSql("'42:' || doc_id::VARCHAR")} AS h FROM documents),
+         |n AS (SELECT count(*) AS total FROM r),
+         |o AS (SELECT doc_id, row_number() OVER (ORDER BY h ASC, doc_id ASC) AS pos FROM r)
+         |SELECT o.doc_id, o.pos,
+         |CASE WHEN o.pos * 100 <= n.total * 80 THEN 'train' ELSE 'valid' END AS fold
+         |FROM o, n""".stripMargin.replace("\n", " "),
     "q26_split" ->
       s"""SELECT doc_id,
          |CASE WHEN ${md5numSql("doc_id::VARCHAR")} % 10 < 8 THEN 'train' ELSE 'valid' END AS fold

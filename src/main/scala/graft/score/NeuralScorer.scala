@@ -88,6 +88,81 @@ object NeuralScorer {
     h
   }
 
+  /** M11: masked-mean composition (RelEmbed Average Single notebook) — the
+    * average of the per-step summed modality embeddings over the path's
+    * actual length. A drop-in alternative to the GRU composer (embedDim ==
+    * hidden by construction of the fixture weights).
+    */
+  private[graft] def encodeMean(w: Weights, cand: SdpCandidate): Array[Float] = {
+    val m = new Array[Float](w.embedDim)
+    if (cand.path.isEmpty) return m
+    var t = 0
+    while (t < cand.path.length) {
+      val step = cand.path(t)
+      for (tok <- Seq(step.word, "d:" + step.dep, "p:" + step.pos)) {
+        val e = w.embed(bucket(w, tok))
+        var i = 0
+        while (i < w.embedDim) { m(i) += e(i); i += 1 }
+      }
+      t += 1
+    }
+    var i = 0
+    while (i < w.embedDim) { m(i) /= cand.path.length; i += 1 }
+    m
+  }
+
+  /** M3: the reference's unsupervised bilinear relation score
+    * logit = Σᵢ (xᵢ · hᵢ) · yᵢ  (x^T diag(h) y, relembed.py:271-273) over the
+    * target-surface embeddings and the composed path state.
+    */
+  private[graft] def bilinearScore(w: Weights, cand: SdpCandidate,
+                                   h: Array[Float]): Double = {
+    val ex = w.embed(bucket(w, cand.x))
+    val ey = w.embed(bucket(w, cand.y))
+    var s = 0.0
+    var i = 0
+    while (i < w.embedDim) { s += ex(i) * h(i) * ey(i); i += 1 }
+    s
+  }
+
+  /** M10: single-endpoint scorer (relembed_single.py:121-127) — score one
+    * target against the composed context: logit = Σᵢ hᵢ · e(target)ᵢ. The
+    * twin directions (predict X | rest, predict Y | rest) are the two calls.
+    */
+  private[graft] def singleScore(w: Weights, target: String,
+                                 h: Array[Float]): Double = {
+    val e = w.embed(bucket(w, target))
+    var s = 0.0
+    var i = 0
+    while (i < w.embedDim) { s += h(i) * e(i); i += 1 }
+    s
+  }
+
+  /** M8: similarity representation [x ⊙ h ; y], L2-normalized
+    * (relembed.py:586-625) — the vector the reference's nearest-neighbor
+    * probes ran over. Cosine top-k over these reps is `Similarity.cosineTopK`
+    * / `ivfSearch` downstream.
+    */
+  private[graft] def simRep(w: Weights, cand: SdpCandidate,
+                            h: Array[Float]): Array[Float] = {
+    val ex = w.embed(bucket(w, cand.x))
+    val ey = w.embed(bucket(w, cand.y))
+    val rep = new Array[Float](2 * w.embedDim)
+    var i = 0
+    while (i < w.embedDim) {
+      rep(i) = ex(i) * h(i)
+      rep(w.embedDim + i) = ey(i)
+      i += 1
+    }
+    var n = 0.0
+    i = 0
+    while (i < rep.length) { n += rep(i) * rep(i); i += 1 }
+    val inv = if (n == 0) 0f else (1.0 / math.sqrt(n)).toFloat
+    i = 0
+    while (i < rep.length) { rep(i) *= inv; i += 1 }
+    rep
+  }
+
   /** 19-way logits + argmax (M5 analog: relembed.py:304-329). */
   private[graft] def classify(w: Weights, h: Array[Float]): (Int, Double) = {
     var best = 0; var bestV = Double.MinValue; var sumExp = 0.0
@@ -111,6 +186,58 @@ object NeuralScorer {
     * grouping shape (drain iterator → batch → score → emit) is the
     * production pattern either way.
     */
+  /** M3 + M10 as one pass: per candidate the bilinear relation logit and the
+    * two single-endpoint logits, integer-scaled (×10⁶, floored) so outputs
+    * are stable row values. One encode per candidate feeds all three heads.
+    */
+  def unsupScores(cands: Dataset[SdpCandidate], seed: Long = 42L): org.apache.spark.sql.DataFrame = {
+    val spark = cands.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(seededWeights(seed))
+    cands.mapPartitions { it =>
+      val w = bc.value
+      it.map { c =>
+        val h = encode(w, c)
+        (c.doc_id, c.span_idx, c.x, c.y,
+          math.floor(bilinearScore(w, c, h) * 1e6).toLong,
+          math.floor(singleScore(w, c.x, h) * 1e6).toLong,
+          math.floor(singleScore(w, c.y, h) * 1e6).toLong)
+      }
+    }.toDF("doc_id", "span_idx", "x", "y", "bilinear_upm", "score_x_upm", "score_y_upm")
+  }
+
+  /** M11 wired to M5: classify over the masked-mean composition instead of
+    * the GRU — the engine's second model variant.
+    */
+  def scoreMean(cands: Dataset[SdpCandidate], seed: Long = 42L): Dataset[Triple] = {
+    val spark = cands.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(seededWeights(seed))
+    cands.mapPartitions { it =>
+      val w = bc.value
+      it.map { c =>
+        val (labelId, prob) = classify(w, encodeMean(w, c))
+        val label = Labels.all(labelId)
+        val (s, o) =
+          if (label.endsWith("(e2,e1)")) (c.y, c.x) else (c.x, c.y)
+        Triple(s, Labels.collapse(label), o, c.doc_id, c.span_idx, prob)
+      }
+    }
+  }
+
+  /** M8 rep table: one L2-normalized [x⊙h ; y] vector per candidate, as an
+    * embedding column the similarity operators consume directly.
+    */
+  def simRepTable(cands: Dataset[SdpCandidate], seed: Long = 42L): org.apache.spark.sql.DataFrame = {
+    val spark = cands.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(seededWeights(seed))
+    cands.mapPartitions { it =>
+      val w = bc.value
+      it.map { c => (c.doc_id, c.span_idx, c.x, c.y, simRep(w, c, encode(w, c))) }
+    }.toDF("doc_id", "span_idx", "x", "y", "embedding")
+  }
+
   def score(cands: Dataset[SdpCandidate], seed: Long = 42L,
             batchSize: Int = 128): Dataset[Triple] = {
     val spark = cands.sparkSession
