@@ -17,16 +17,18 @@ import graft.model.{Chunk, Token}
   */
 object Annotator {
 
-  private val determiners = Set("the", "a", "an", "this", "that", "these", "those")
-  private val adpositions = Set(
+  // private[graft]: the allocation-lean FusedKernel reuses the SAME lexicons
+  // so the two implementations cannot drift apart silently
+  private[graft] val determiners = Set("the", "a", "an", "this", "that", "these", "those")
+  private[graft] val adpositions = Set(
     "of", "in", "on", "at", "by", "with", "from", "to", "for",
     "over", "under", "into", "through", "between", "across")
-  private val conjunctions = Set("and", "or", "but")
-  private val pronouns = Set("he", "she", "it", "they", "we", "i", "you", "who", "which")
-  private val auxVerbs = Set(
+  private[graft] val conjunctions = Set("and", "or", "but")
+  private[graft] val pronouns = Set("he", "she", "it", "they", "we", "i", "you", "who", "which")
+  private[graft] val auxVerbs = Set(
     "is", "are", "was", "were", "be", "been", "being",
     "has", "have", "had", "do", "does", "did", "will", "can", "must")
-  private val numberWords = Set(
+  private[graft] val numberWords = Set(
     "zero", "one", "two", "three", "four", "five", "six", "seven", "eight",
     "nine", "ten", "eleven", "twelve", "hundred", "thousand", "million", "billion")
 

@@ -128,12 +128,14 @@ object Extract {
   }
 
   /** Fused extraction: (doc_id, text) → triples in ONE narrow stage with no
-    * intermediate Encoder round-trips. The composable stages above serialize
-    * Doc → Sentence → SdpCandidate → Triple at every typed boundary; at full
-    * parallelism that allocation rate becomes the scaling bottleneck (GC is a
-    * shared resource across executor threads). This path runs the identical
-    * row logic in one closure — results are row-equal to the composed
-    * pipeline (ExtractPipelineSpec) but with ~4× less garbage.
+    * intermediate Encoder round-trips and (as of round 2) no per-token/
+    * per-step object allocation: the row logic runs in FusedKernel over
+    * reusable per-partition scratch arrays. The composable stages above
+    * serialize Doc → Sentence → SdpCandidate → Triple at every typed
+    * boundary; at full parallelism that allocation rate becomes the scaling
+    * bottleneck (GC is a shared resource across executor threads). Results
+    * are row-equal to the composed pipeline — ExtractPipelineSpec runs the
+    * differential with and without whitelist.
     *
     * `whitelist` empty ⇒ no signature gate (candidates mode).
     */
@@ -148,29 +150,9 @@ object Extract {
     val bc = spark.sparkContext.broadcast(whitelist)
     docs.mapPartitions { it =>
       val wl = bc.value
+      val scratch = new FusedKernel.Scratch
       it.flatMap { case (id, text) =>
-        val docId = f"d$id%09d"
-        graft.corpus.Corpus.textSpanTokenWindows(id, text).flatMap {
-          case (idx, words) if words.nonEmpty =>
-            val (toks, chunks) = Annotator.annotate(words)
-            Sdp.sentenceToSdps(toks, chunks, minLen, maxLen)
-              .take(maxPairsPerSentence)
-              .iterator
-              .flatMap { case (x, y, path) =>
-                val clean = Sdp.postProcess(path)
-                if (clean.isEmpty) None
-                else {
-                  val sig = SignatureScorer.signatureKey(clean)
-                  if (wl.nonEmpty && !wl.contains(sig)) None
-                  else Some(SignatureScorer.toTripleWithSig(
-                    SdpCandidate(docId, idx,
-                      toks(x).text.toLowerCase, toks(y).text.toLowerCase,
-                      clean, "WIKI"),
-                    sig))
-                }
-              }
-          case _ => Iterator.empty
-        }
+        FusedKernel.docTriples(id, text, wl, minLen, maxLen, maxPairsPerSentence, scratch)
       }
     }
   }

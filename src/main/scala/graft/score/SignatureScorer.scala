@@ -14,7 +14,7 @@ import graft.model.{PathStep, SdpCandidate, Triple}
 object SignatureScorer {
 
   def signatureKey(path: Array[PathStep]): String =
-    path.iterator.map(_.dep).mkString("")
+    path.iterator.map(_.dep).mkString("\u0001")  // separator avoids dep-boundary collisions
 
   /** Stable label choice: non-'Other' label picked by a spec-fixed string hash
     * of the dep signature. 18 directional labels; 'Other' is reserved for
