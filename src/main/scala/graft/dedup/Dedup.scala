@@ -106,6 +106,10 @@ object Dedup {
   /** 16-bit SimHash over token multiset: bit j set iff the count-weighted
     * sum of (±1 by bit j of the token hash) is positive.
     * Output (doc_id, simhash).
+    *
+    * All `bits` per-bit sums run as conditional aggregates in ONE hash
+    * aggregation (map-side combined) — the bit dimension never explodes into
+    * rows, so the shuffle carries one row per (doc, token), not ×bits.
     */
   def simhash(docs: DataFrame, bits: Int = 16): DataFrame = {
     val toks = docs
@@ -113,15 +117,11 @@ object Dedup {
       .filter(length(col("token")) > 0)
       .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
       .withColumn("h", h30(col("token")))
-    toks
-      .select(col("doc_id"), col("cnt"), col("h"),
-        explode(sequence(lit(0), lit(bits - 1))).as("j"))
-      .withColumn("contrib",
-        col("cnt") * (expr("shiftright(h, j) & 1") * 2 - 1))
-      .groupBy("doc_id", "j")
-      .agg(sum("contrib").as("s"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("s") > 0, expr("shiftleft(1L, j)")).otherwise(0L))
-        .as("simhash"))
+    val bitSums = (0 until bits).map(j =>
+      sum(col("cnt") * (expr(s"shiftright(h, $j) & 1") * 2 - 1)).as(s"s$j"))
+    toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until bits).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
   }
 }

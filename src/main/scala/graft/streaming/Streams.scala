@@ -39,24 +39,42 @@ object Streams {
     */
   private implicit val tsOrdering: Ordering[Timestamp] = Ordering.by(_.getTime)
 
-  def sessionize(events: Dataset[Event]): Dataset[UserSession] = {
+  /** @param idleTimeout processing-time expiry for idle user state — at
+    *   corpus scale user-id cardinality grows with the stream, so unbounded
+    *   (NoTimeout) state is a memory leak; pass Some(duration) in production
+    *   so idle groups are dropped (a reappearing user starts a fresh
+    *   session). None keeps NoTimeout — correct for bounded test corpora and
+    *   for `processAllAvailable`-style draining, which never quiesces while
+    *   a processing-time timeout batch is pending.
+    */
+  def sessionize(events: Dataset[Event],
+                 idleTimeout: Option[String] = None): Dataset[UserSession] = {
     import events.sparkSession.implicits._
+    val timeoutConf = if (idleTimeout.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
     events
       .groupByKey(_.user_id)
-      .mapGroupsWithState[UserSession, UserSession](GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[UserSession, UserSession](timeoutConf) {
         case (uid, it, state: GroupState[UserSession]) =>
-          val evs = it.toSeq
-          val batchFirst = evs.map(_.ts).min
-          val batchLast = evs.map(_.ts).max
-          val prev = state.getOption.getOrElse(UserSession(uid, 0L, 0L, batchFirst, batchLast))
-          val next = UserSession(
-            uid,
-            prev.n_events + evs.size,
-            prev.value_sum_micro + evs.map(e => math.floor(e.value * 1e6).toLong).sum,
-            Seq(prev.first_ts, batchFirst).min,
-            Seq(prev.last_ts, batchLast).max)
-          state.update(next)
-          next
+          if (idleTimeout.isDefined && state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            last
+          } else {
+            val evs = it.toSeq
+            val batchFirst = evs.map(_.ts).min
+            val batchLast = evs.map(_.ts).max
+            val prev = state.getOption.getOrElse(UserSession(uid, 0L, 0L, batchFirst, batchLast))
+            val next = UserSession(
+              uid,
+              prev.n_events + evs.size,
+              prev.value_sum_micro + evs.map(e => math.floor(e.value * 1e6).toLong).sum,
+              Seq(prev.first_ts, batchFirst).min,
+              Seq(prev.last_ts, batchLast).max)
+            state.update(next)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            next
+          }
       }
   }
 

@@ -49,11 +49,13 @@ object BenchLevel {
       .select((col("doc_id") * r + col("copy")).as("doc_id"), col("text"))
       .as[(Long, String)]
 
-    // JIT+codegen warmup: two passes at quarter scale — short levels
-    // otherwise spend their first timed reps still compiling, which skews
-    // the small-N vs large-N comparison (fast levels warm up less per rep)
+    // JIT+codegen warmup: one quarter-scale pass then one FULL-scale pass —
+    // short levels otherwise spend their first timed reps still compiling
+    // (and faulting file-cache pages), which skews the small-N vs large-N
+    // comparison: small-N reps are long enough to warm up in-run, big-N
+    // reps are not
     Extract.triplesFused(docs(math.max(repl / 4, 1))).count()
-    Extract.triplesFused(docs(math.max(repl / 4, 1))).count()
+    Extract.triplesFused(docs(repl)).count()
     val nDocs = docs(repl).count()
 
     def rep(): (Long, Double) = {

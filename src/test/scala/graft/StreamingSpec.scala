@@ -36,6 +36,27 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("sessionize with idle-state timeout runs and emits under AvailableNow") {
+    // ProcessingTimeTimeout keeps a future batch pending, so this variant is
+    // driven with Trigger.AvailableNow (terminates after draining) instead
+    // of processAllAvailable (which would never quiesce)
+    val stream = Streams.eventsStream(spark, streamDir, s"$sfDir/events.parquet")
+      .as[Streams.Event]
+    val q = Streams.sessionize(stream, idleTimeout = Some("10 minutes"))
+      .writeStream.outputMode("update").format("memory").queryName("sessions_to")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try {
+      q.awaitTermination(120000L)
+      val got = spark.table("sessions_to")
+        .groupBy("user_id").agg(max("n_events").as("n_events"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val want = spark.read.parquet(s"$sfDir/events.parquet")
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == want, "timeout variant must still accumulate full sessions")
+    } finally q.stop()
+  }
+
   test("stateful sessionization accumulates per-user state across batches") {
     val stream = Streams.eventsStream(spark, streamDir, s"$sfDir/events.parquet")
       .as[Streams.Event]
