@@ -32,8 +32,13 @@ object ModelQueries {
     // cosine top-k over them (query set = first 5 candidates in the
     // deterministic rep ordering)
     "q42_sim_rep_topk" -> ((s, dir) => {
+      // persist the rep table BELOW the rank: globalRowNumber's range
+      // sampling + offset counts + main pass would otherwise re-run
+      // extraction + GRU encoding three times
+      val repTable = NeuralScorer.simRepTable(cands(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val reps = Ranks.globalRowNumber(
-        NeuralScorer.simRepTable(cands(s, dir)),
+        repTable,
         Seq(col("doc_id").asc, col("span_idx").asc, col("x").asc, col("y").asc),
         "__rn")
         .select((col("__rn") - 1).as("vec_id"), col("embedding"))

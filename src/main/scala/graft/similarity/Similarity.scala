@@ -41,7 +41,10 @@ object Similarity {
       .withColumn("dqq", dotScaled("qe", "qe"))
     val c = corpus.select(col("vec_id"), col("embedding").as("ce"))
       .withColumn("dcc", dotScaled("ce", "ce"))
-    val joined = q.crossJoin(c)
+    // brute force is declared small-query-set only → broadcast the query
+    // side explicitly (derived frames carry no stats, so the planner can't
+    // pick the right side itself) and stream the corpus past it
+    val joined = broadcast(q).crossJoin(c)
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("cos",
         dotScaled("qe", "ce").cast("double") /
