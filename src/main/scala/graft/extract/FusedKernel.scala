@@ -92,7 +92,7 @@ object FusedKernel {
   }
 
   /** Byte-id port of Annotator.posOf over the precomputed lowercase form. */
-  private[extract] def posId(raw: String, lower: String): Int =
+  private[graft] def posId(raw: String, lower: String): Int =
     if (isPunctTok(raw)) PUNCT
     else if (digitLike(raw) || Annotator.numberWords.contains(lower)) NUM
     else if (Annotator.determiners.contains(lower)) DET
@@ -110,7 +110,7 @@ object FusedKernel {
       case _                     => ADJ
     }
 
-  private[extract] def posName(id: Int): String = id match {
+  private[graft] def posName(id: Int): String = id match {
     case PUNCT => "PUNCT"; case NUM => "NUM"; case DET => "DET"
     case ADP => "ADP"; case CCONJ => "CCONJ"; case PRON => "PRON"
     case VERB => "VERB"; case ADJ => "ADJ"; case _ => "NOUN"

@@ -84,6 +84,20 @@ object SdpProperties extends Properties("Sdp") {
       kept.size <= all.size && kept.forall(p => wl.contains(Sdp.depSignature(p)))
     }
 
+  // arbitrary strings (not just the curated lexicon): signs, separators,
+  // unicode letters, empties — the kernel's regex-free ports must agree
+  // with the Annotator on all of them
+  private val anyToken: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr, Gen.asciiPrintableStr.map(_.take(8)),
+    Gen.oneOf("", "+", "-", "+1", "-3.14", "1,000", "1..2", "12.", ".5",
+      "³", "①", "naïve", "ING", "ed", "+-", "9", "the", "müller"))
+
+  property("FusedKernel.posId equals Annotator.posOf for arbitrary tokens") =
+    forAll(anyToken) { raw =>
+      import graft.extract.FusedKernel
+      FusedKernel.posName(FusedKernel.posId(raw, raw.toLowerCase)) == Annotator.posOf(raw)
+    }
+
   property("smartText: placeholder substitution is idempotent on specials") =
     forAll(word) { w =>
       val p = Annotator.isPunct(w); val n = Annotator.likeNum(w)
