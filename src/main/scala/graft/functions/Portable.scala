@@ -16,6 +16,17 @@ object Portable {
   def md5num(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Scala-side md5num — bit-identical to the Column form (and to the
+    * DuckDB oracle expression), for row-logic closures that need the same
+    * hash (e.g. cluster assignment inside mapPartitions).
+    */
+  def md5numScala(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val hex = d.map(b => f"$b%02x").mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
   /** 30-bit hash: md5num mod a prime, small enough that a*h+b stays in int64
     * for the MinHash permutation family.
     */

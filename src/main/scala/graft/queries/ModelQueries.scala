@@ -52,6 +52,11 @@ object ModelQueries {
     // M16: TF-IDF + logistic-regression baseline over the labeled candidates
     "q43_tfidf_lr" -> ((s, dir) => TfidfBaseline.predictions(cands(s, dir))),
 
+    // M9: cluster-pair softmax over K² pair classes (observed pair label,
+    // argmax pair, softmax prob of observed)
+    "q46_cluster_softmax" -> ((s, dir) =>
+      NeuralScorer.clusterPairScores(cands(s, dir))),
+
     // P12 faithful: forward ∪ reversed SdpCandidates with last-step word
     // rewrite and target reduction (not just the token-sequence shape of q34)
     "q44_reverse_sdp" -> ((s, dir) => {

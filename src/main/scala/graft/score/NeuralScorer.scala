@@ -21,6 +21,11 @@ object NeuralScorer {
     * All values from a seeded xorshift PRNG — identical on every executor and
     * every run.
     */
+  /** Number of Brown-style clusters for the M9 pair-softmax head (K² pair
+    * classes) — matches q32's deterministic cluster table (md5num % 64).
+    */
+  val nClusters: Int = 64
+
   case class Weights(
       vocabBuckets: Int,
       embedDim: Int,
@@ -29,7 +34,8 @@ object NeuralScorer {
       wz: Array[Array[Float]], uz: Array[Array[Float]], // update gate
       wr: Array[Array[Float]], ur: Array[Array[Float]], // reset gate
       wh: Array[Array[Float]], uh: Array[Array[Float]], // candidate
-      wOut: Array[Array[Float]])                        // [hidden][nLabels]
+      wOut: Array[Array[Float]],                        // [hidden][nLabels]
+      wPair: Array[Array[Float]])                       // [hidden][K²] (M9)
 
   def seededWeights(seed: Long = 42L, vocabBuckets: Int = 4096,
                     embedDim: Int = 32, hidden: Int = 32): Weights = {
@@ -44,7 +50,10 @@ object NeuralScorer {
       wz = mat(embedDim, hidden), uz = mat(hidden, hidden),
       wr = mat(embedDim, hidden), ur = mat(hidden, hidden),
       wh = mat(embedDim, hidden), uh = mat(hidden, hidden),
-      wOut = mat(hidden, Labels.all.length))
+      wOut = mat(hidden, Labels.all.length),
+      // generated LAST so earlier draws (and every pre-M9 fixture value)
+      // stay identical for a given seed
+      wPair = mat(hidden, nClusters * nClusters))
   }
 
   private def bucket(w: Weights, token: String): Int =
@@ -161,6 +170,54 @@ object NeuralScorer {
     i = 0
     while (i < rep.length) { rep(i) *= inv; i += 1 }
     rep
+  }
+
+  /** M9: cluster-pair softmax over K² pair classes — the reference's
+    * clustered-unsupervised objective predicts the Brown-cluster PAIR of
+    * the two targets from the composed path state (RelEmbed Big Clustered
+    * Unsupervised notebook; cluster-pair labels as in q32). Returns
+    * (argmax pair id, softmax probability of the OBSERVED pair).
+    */
+  private[graft] def clusterPairSoftmax(w: Weights, h: Array[Float],
+                                        observedPair: Int): (Int, Double) = {
+    val n = w.wPair(0).length
+    val logits = new Array[Double](n)
+    var best = 0; var bestV = Double.MinValue
+    var k = 0
+    while (k < n) {
+      var v = 0.0
+      var i = 0
+      while (i < w.hidden) { v += h(i) * w.wPair(i)(k); i += 1 }
+      logits(k) = v
+      if (v > bestV) { bestV = v; best = k }
+      k += 1
+    }
+    var sumExp = 0.0
+    k = 0
+    while (k < n) { sumExp += math.exp(logits(k) - bestV); k += 1 }
+    (best, math.exp(logits(observedPair) - bestV) / sumExp)
+  }
+
+  /** Deterministic cluster id of a surface (q32's table: md5num % 64). */
+  private[graft] def clusterOf(surface: String): Int =
+    (graft.functions.Portable.md5numScala(surface) % nClusters).toInt
+
+  /** M9 as a Dataset pass: per candidate the observed cluster-pair label,
+    * its softmax probability under the pair head, and the argmax pair.
+    */
+  def clusterPairScores(cands: Dataset[SdpCandidate], seed: Long = 42L): org.apache.spark.sql.DataFrame = {
+    val spark = cands.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(seededWeights(seed))
+    cands.mapPartitions { it =>
+      val w = bc.value
+      it.map { c =>
+        val pair = clusterOf(c.x) * nClusters + clusterOf(c.y)
+        val (argmax, prob) = clusterPairSoftmax(w, encode(w, c), pair)
+        (c.doc_id, c.span_idx, c.x, c.y, pair, argmax,
+          math.floor(prob * 1e9).toLong)
+      }
+    }.toDF("doc_id", "span_idx", "x", "y", "pair_label", "pred_pair", "prob_nppb")
   }
 
   /** 19-way logits + argmax (M5 analog: relembed.py:304-329). */

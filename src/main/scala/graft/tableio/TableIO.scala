@@ -81,6 +81,16 @@ object TableIO {
     Snapshot(version, dataDir, rows, df.schema.json)
   }
 
+  /** S9: prediction TSV sink — the reference emits its prediction files as
+    * tab-separated text (test_pred_* outputs, relembed.py:616-625 era
+    * tooling); distributed writers emit one shard per partition like any
+    * text sink.
+    */
+  def writeTsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite")
+      .option("sep", "\t").option("header", "true")
+      .csv(path)
+
   /** Read the current committed snapshot (partition pruning + pushdown apply
     * as with any parquet scan; partition columns come back from dir layout).
     */

@@ -106,6 +106,38 @@ class ModelOpsSpec extends SparkSuite {
     }
   }
 
+  test("M9 cluster-pair softmax: valid distribution, observed pair consistent") {
+    val w = NeuralScorer.seededWeights(42L)
+    val c = toyCand("alpha", "beta", Seq("of"))
+    val h = NeuralScorer.encode(w, c)
+    val pair = NeuralScorer.clusterOf("alpha") * NeuralScorer.nClusters +
+      NeuralScorer.clusterOf("beta")
+    val (argmax, prob) = NeuralScorer.clusterPairSoftmax(w, h, pair)
+    assert(argmax >= 0 && argmax < NeuralScorer.nClusters * NeuralScorer.nClusters)
+    assert(prob > 0 && prob <= 1.0)
+    // probability of the argmax class dominates the observed class
+    val (_, probAtArgmax) = NeuralScorer.clusterPairSoftmax(w, h, argmax)
+    assert(probAtArgmax >= prob)
+    // Scala-side cluster id matches the q32 oracle's md5num % 64 semantics
+    assert(NeuralScorer.clusterOf("alpha") ==
+      (graft.functions.Portable.md5numScala("alpha") % 64).toInt)
+    // Dataset pass runs over real candidates and is partition-invariant
+    val a = NeuralScorer.clusterPairScores(cands.limit(40)).collect().toSet
+    val b = NeuralScorer.clusterPairScores(cands.limit(40).repartition(7)).collect().toSet
+    assert(a.map(_.toString) == b.map(_.toString) && a.nonEmpty)
+  }
+
+  test("S9 TSV sink writes readable tab-separated prediction shards") {
+    import graft.tableio.TableIO
+    val dir = java.nio.file.Files.createTempDirectory("graft-tsv").toString + "/preds"
+    val triples = NeuralScorer.score(cands.limit(100)).toDF()
+      .select("subj", "pred", "obj", "doc_id", "span_idx")
+    TableIO.writeTsv(triples, dir)
+    val back = spark.read.option("sep", "\t").option("header", "true").csv(dir)
+    assert(back.count() == triples.count())
+    assert(back.columns.toSeq == triples.columns.toSeq)
+  }
+
   test("O1 seeded shuffle: stable permutation, exact split, partition-invariant") {
     val df = spark.range(0, 1000).select(col("id").cast("long").as("doc_id"))
     val a = graft.sample.Shuffles.seededSplit(df, "doc_id", seed = 7L)
