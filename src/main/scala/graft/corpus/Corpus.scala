@@ -62,12 +62,20 @@ object Corpus {
     }
   }
 
-  /** Interleaved-doc table from the driver's documents.parquet (doc_id, text). */
+  /** Interleaved-doc table from the driver's documents.parquet (doc_id, text).
+    *
+    * The test corpus arrives as ONE parquet file (= one input split); without
+    * spreading the base rows first, every downstream per-doc stage —
+    * annotation, SDP assembly, model scoring — would run in a single task no
+    * matter the cluster size. A real corpus arrives in thousands of files,
+    * so the cheap base-row shuffle here reproduces that layout.
+    */
   def fromDocuments(spark: SparkSession, sfDir: String): Dataset[Doc] = {
     import spark.implicits._
     spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text")
       .as[(Long, String)]
+      .repartition(spark.sparkContext.defaultParallelism)
       .map { case (id, text) => buildDoc(id, text) }
   }
 }

@@ -182,14 +182,21 @@ object NeuralScorer {
                                         observedPair: Int): (Int, Double) = {
     val n = w.wPair(0).length
     val logits = new Array[Double](n)
+    // accumulate row-major (one contiguous wPair row per hidden unit) —
+    // the k-inner/i-outer order walks each 4096-wide row sequentially
+    // instead of striding across all rows per class
+    var i = 0
+    while (i < w.hidden) {
+      val hi = h(i)
+      val row = w.wPair(i)
+      var k = 0
+      while (k < n) { logits(k) += hi * row(k); k += 1 }
+      i += 1
+    }
     var best = 0; var bestV = Double.MinValue
     var k = 0
     while (k < n) {
-      var v = 0.0
-      var i = 0
-      while (i < w.hidden) { v += h(i) * w.wPair(i)(k); i += 1 }
-      logits(k) = v
-      if (v > bestV) { bestV = v; best = k }
+      if (logits(k) > bestV) { bestV = logits(k); best = k }
       k += 1
     }
     var sumExp = 0.0

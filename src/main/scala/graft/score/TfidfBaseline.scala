@@ -47,7 +47,11 @@ object TfidfBaseline {
     * Output (doc_id, span_idx, pred_label, label).
     */
   def predictions(cands: Dataset[SdpCandidate], seed: Long = 42L): DataFrame = {
+    // coalesce before training: L-BFGS runs one treeAggregate per iteration,
+    // and at test-corpus scale many near-empty partitions cost more in task
+    // overhead than they buy in parallelism (a real corpus re-spreads here)
     val rows = labeledRows(cands)
+      .coalesce(math.min(cands.sparkSession.sparkContext.defaultParallelism, 8))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val train = rows.filter(col("fold") === "train")
     val valid = rows.filter(col("fold") === "valid")
