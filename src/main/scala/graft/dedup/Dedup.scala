@@ -111,17 +111,47 @@ object Dedup {
     * aggregation (map-side combined) — the bit dimension never explodes into
     * rows, so the shuffle carries one row per (doc, token), not ×bits.
     */
-  def simhash(docs: DataFrame, bits: Int = 16): DataFrame = {
+  def simhash(docs: DataFrame, bits: Int = 16): DataFrame =
+    simhashImpl(docs, bits, h30(col("token")))
+
+  /** Wide (60-bit) SimHash — the scale variant for near-dup banding. 16 bits
+    * band into at most 2^8 buckets (q28 round-2 shape), a GLOBAL constant: at
+    * 100× corpus the within-bucket self-join goes quadratic. 60 bits banded
+    * as 4×15-bit sub-bands (`WideBands`/`WideBandBits`) give 4×2^15 bucket
+    * keys whose occupancy grows with data, and hamming ≤ 3 over 4 bands keeps
+    * exact recall (3 differing bits touch ≤ 3 bands, so one band always
+    * matches). 60 bits, not 64, because md5num is the engine-portable 60-bit
+    * hash the DuckDB oracle can reproduce; `Hamming64` handles it natively.
+    */
+  def simhashWide(docs: DataFrame): DataFrame =
+    simhashImpl(docs, WideBits, md5num(col("token")))
+
+  val WideBits = 60
+  val WideBands = 4
+  val WideBandBits: Int = WideBits / WideBands // 15
+
+  private def simhashImpl(docs: DataFrame, bits: Int, tokenHash: org.apache.spark.sql.Column): DataFrame = {
     val toks = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .filter(length(col("token")) > 0)
       .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
-      .withColumn("h", h30(col("token")))
+      .withColumn("h", tokenHash)
     val bitSums = (0 until bits).map(j =>
       sum(col("cnt") * (expr(s"shiftright(h, $j) & 1") * 2 - 1)).as(s"s$j"))
     toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
         (0 until bits).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
           .reduce(_ + _).as("simhash"))
+  }
+
+  /** Explode a wide simhash into its (band, bv) LSH keys — docs sharing any
+    * key are near-dup candidates. One row per (doc, band); the candidate join
+    * shuffles on (band, bv), never all-pairs.
+    */
+  def simhashWideBands(sh: DataFrame): DataFrame = {
+    val mask = (1L << WideBandBits) - 1
+    sh.select(col("doc_id"), col("simhash"),
+      explode(expr(s"sequence(0, ${WideBands - 1})")).as("band"))
+      .withColumn("bv", expr(s"shiftright(simhash, band * $WideBandBits)") bitwiseAND lit(mask))
   }
 }

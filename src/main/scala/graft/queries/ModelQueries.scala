@@ -37,9 +37,13 @@ object ModelQueries {
       // extraction + GRU encoding three times
       val repTable = NeuralScorer.simRepTable(cands(s, dir))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // path_sig completes the total order: one sentence window can emit the
+      // same surface pair via two different paths, and Ranks requires a
+      // unique tie-break for run-invariant ranks (ADVICE round 2)
       val reps = Ranks.globalRowNumber(
         repTable,
-        Seq(col("doc_id").asc, col("span_idx").asc, col("x").asc, col("y").asc),
+        Seq(col("doc_id").asc, col("span_idx").asc, col("x").asc, col("y").asc,
+          col("path_sig").asc),
         "__rn")
         .select((col("__rn") - 1).as("vec_id"), col("embedding"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

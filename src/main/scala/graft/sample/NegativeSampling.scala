@@ -34,10 +34,33 @@ object NegativeSampling {
     def nextInt(bound: Int): Int = math.floorMod(nextLong(), bound.toLong).toInt
   }
 
+  /** The pool order shared by both sampling paths: unsigned UTF-8 byte
+    * comparison, which is what Spark's UTF8String binary ordering (the
+    * distributed path's `col("surface").asc`) implements. Scala's plain
+    * `String` ordering compares UTF-16 code units instead, and the two
+    * diverge for supplementary code points (≥ U+10000) mixed with
+    * U+E000–U+FFFF — silently remapping pool indices (ADVICE round 2).
+    * Sort broadcast pools with THIS ordering, not `.sorted`.
+    */
+  val poolOrdering: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int = {
+      val ba = a.getBytes("UTF-8"); val bb = b.getBytes("UTF-8")
+      val n = math.min(ba.length, bb.length)
+      var i = 0
+      while (i < n) {
+        val d = (ba(i) & 0xff) - (bb(i) & 0xff)
+        if (d != 0) return d
+        i += 1
+      }
+      ba.length - bb.length
+    }
+  }
+
   /** Emit (true row, label 1) plus `negPer` corruptions (label 0). `targets`
     * and `vocab` are the sampled-from pools (broadcast; reference's target /
     * smoothed-vocab unigram distributions — uniform stands in here since the
-    * distribution itself ships as A6's power-smoothing query).
+    * distribution itself ships as A6's power-smoothing query). For row parity
+    * with `withNegativesDistributed`, pools must be sorted by `poolOrdering`.
     */
   def withNegatives(
       cands: Dataset[SdpCandidate],

@@ -290,7 +290,11 @@ object NeuralScorer {
   }
 
   /** M8 rep table: one L2-normalized [x⊙h ; y] vector per candidate, as an
-    * embedding column the similarity operators consume directly.
+    * embedding column the similarity operators consume directly. `path_sig`
+    * (the dep-path signature) makes (doc_id, span_idx, x, y, path_sig) a
+    * TOTAL order over candidates — one sentence can yield the same surface
+    * pair twice via different paths, and consumers that rank rows (q42's
+    * vec_id) need a run-invariant tie-break.
     */
   def simRepTable(cands: Dataset[SdpCandidate], seed: Long = 42L): org.apache.spark.sql.DataFrame = {
     val spark = cands.sparkSession
@@ -298,8 +302,15 @@ object NeuralScorer {
     val bc = spark.sparkContext.broadcast(seededWeights(seed))
     cands.mapPartitions { it =>
       val w = bc.value
-      it.map { c => (c.doc_id, c.span_idx, c.x, c.y, simRep(w, c, encode(w, c))) }
-    }.toDF("doc_id", "span_idx", "x", "y", "embedding")
+      it.map { c =>
+        // full (word, dep, pos) rendering, not just the dep signature: the
+        // embedding depends on path words, so the tie-break must too
+        val sig = c.path.iterator
+          .map(p => p.word + "\u0001" + p.dep + "\u0001" + p.pos)
+          .mkString("\u0002")
+        (c.doc_id, c.span_idx, c.x, c.y, sig, simRep(w, c, encode(w, c)))
+      }
+    }.toDF("doc_id", "span_idx", "x", "y", "path_sig", "embedding")
   }
 
   def score(cands: Dataset[SdpCandidate], seed: Long = 42L,

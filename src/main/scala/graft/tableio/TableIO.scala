@@ -60,12 +60,19 @@ object TableIO {
     val dataDir = s"$table/data/snap-$version"
     // row count observed during the write itself (one pass over the data) —
     // re-reading the freshly written parquet just to count would double the
-    // I/O of every stage commit
+    // I/O of every stage commit. Observation metrics can over-count under
+    // speculative execution (both task attempts feed the accumulator), so
+    // the cheap path is only valid with speculation off — with it on, fall
+    // back to counting the committed files (ADVICE round 2).
+    val speculative = df.sparkSession.sparkContext.getConf
+      .getBoolean("spark.speculation", defaultValue = false)
     val obs = org.apache.spark.sql.Observation(s"tableio-rows-$version")
     val writer = df.observe(obs, org.apache.spark.sql.functions.count(
       org.apache.spark.sql.functions.lit(1)).as("rows")).write.mode("overwrite")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer).parquet(dataDir)
-    val rows = obs.get("rows").asInstanceOf[Long]
+    val rows =
+      if (speculative) df.sparkSession.read.parquet(dataDir).count()
+      else obs.get("rows").asInstanceOf[Long]
     Files.createDirectories(snapDir(table))
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
     val manifest =

@@ -38,7 +38,7 @@ class ScoringSamplingSpec extends SparkSuite {
   }
 
   test("negative sampling: 1 positive + negPer negatives, first swaps targets") {
-    val targets = cands.select("x").distinct().as[String].collect().sorted.toIndexedSeq
+    val targets = cands.select("x").distinct().as[String].collect().sorted(NegativeSampling.poolOrdering).toIndexedSeq
     val out = NegativeSampling.withNegatives(cands, targets, targets, negPer = 3).cache()
     assert(out.count() == cands.count() * 4)
     assert(out.filter(_.label == 1).count() == cands.count())
@@ -57,8 +57,21 @@ class ScoringSamplingSpec extends SparkSuite {
     out.unpersist()
   }
 
+  test("poolOrdering matches Spark's binary string sort where UTF-16 order diverges") {
+    // U+E000 sorts after U+10000 in UTF-16 code units (surrogates < 0xE000)
+    // but BEFORE it in UTF-8 bytes — the case that silently remaps pool
+    // indices if broadcast pools use plain .sorted (ADVICE round 2)
+    val tricky = Seq("\uD800\uDC00" /* U+10000 */, "\uE000", "plain")
+    assert(tricky.sorted != tricky.sorted(NegativeSampling.poolOrdering),
+      "expected UTF-16 vs UTF-8 order divergence on this input")
+    val sparkOrder = tricky.toDF("surface").orderBy(col("surface").asc)
+      .as[String].collect().toSeq
+    assert(sparkOrder == tricky.sorted(NegativeSampling.poolOrdering),
+      s"poolOrdering disagrees with Spark's sort: $sparkOrder")
+  }
+
   test("distributed negative sampling equals the broadcast path row-for-row") {
-    val targets = cands.select("x").distinct().as[String].collect().sorted.toIndexedSeq
+    val targets = cands.select("x").distinct().as[String].collect().sorted(NegativeSampling.poolOrdering).toIndexedSeq
     val viaBroadcast = NegativeSampling
       .withNegatives(cands, targets, targets, negPer = 3, negLevel = 1)
       .collect()
