@@ -43,7 +43,7 @@ object Bench {
     * and corrupts the N vs 4N efficiency — a real cluster gives every
     * executor its own right-sized JVM, and this reproduces that (BENCH.md).
     */
-  private final class Level(cores: Int, repl: Int, pinFrom: Int) {
+  private final class Level(cores: Int, repl: Int, pinFrom: Int, job: String) {
     private val javaBin = System.getProperty("java.home") + "/bin/java"
     private val cp = System.getProperty("java.class.path")
     // pass through the module opens Spark-on-JDK17 needs
@@ -68,7 +68,7 @@ object Bench {
         Seq("/usr/bin/taskset", "-c", s"$pinFrom-${pinFrom + cores - 1}")
       else Seq.empty
     private val cmd = pin ++ Seq(javaBin) ++ opens ++ jvm ++
-      Seq("-cp", cp, "graft.tools.BenchLevel", cores.toString, repl.toString, "serve")
+      Seq("-cp", cp, "graft.tools.BenchLevel", cores.toString, repl.toString, "serve", job)
     private val pb = new ProcessBuilder(cmd: _*)
     pb.redirectError(ProcessBuilder.Redirect.INHERIT)
     private val p = pb.start()
@@ -120,13 +120,14 @@ object Bench {
     * engine's noise-free scaling.
     */
   private def runPair(small: Int, smallPin: Int, big: Int, bigPin: Int,
-                      repl: Int, reps: Int): (KgStats, KgStats, Double) = {
-    val a = new Level(small, repl, smallPin)
-    val b = new Level(big, repl, bigPin)
+                      repl: Int, reps: Int,
+                      job: String = "fused"): (KgStats, KgStats, Double) = {
+    val a = new Level(small, repl, smallPin, job)
+    val b = new Level(big, repl, bigPin, job)
     try {
       val all = (1 to reps).map { _ =>
-        val tpsA = a.runRep(s"${small}v$big")
-        val tpsB = b.runRep(s"${small}v$big")
+        val tpsA = a.runRep(s"$job ${small}v$big")
+        val tpsB = b.runRep(s"$job ${small}v$big")
         tpsB / (4.0 * tpsA)
       }
       // the first alternating round is paired warmup (residual JIT/cache
@@ -156,27 +157,69 @@ object Bench {
 
     val scalingOnly = sys.env.contains("SPARK_GRAFT_BENCH_ONLY_SCALING")
 
+    // dev harness: measure ONLY the pipeline pairs, print their JSON, exit
+    if (sys.env.contains("SPARK_GRAFT_BENCH_PIPE_ONLY")) {
+      val pr = sys.env.getOrElse("SPARK_GRAFT_BENCH_PIPE_REPL", "1024").toInt
+      val pp = sys.env.getOrElse("SPARK_GRAFT_BENCH_PIPE_REPS", "5").toInt
+      val pp2 = sys.env.getOrElse("SPARK_GRAFT_BENCH_PIPE_REPS2", "3").toInt
+      val (p1, p4, pe) = runPair(1, 0, 4, 4, pr, pp, job = "pipeline")
+      val (p2, p8, pe28) = runPair(2, 0, 8, 8, pr, pp2, job = "pipeline")
+      println(f"""{"scaling_pipeline":{"pair":"1->4","docs":${p1.docs},""" +
+        f""""tps_p1":${p1.tps}%.1f,"tps_p4":${p4.tps}%.1f,"efficiency":$pe%.3f,""" +
+        f""""tps_p2":${p2.tps}%.1f,"tps_p8":${p8.tps}%.1f,"efficiency_2_8":$pe28%.3f}}""")
+      return
+    }
+
     // ---- KG throughput + scaling evidence ----
     // One fresh right-sized JVM per level, reps strictly alternating within
     // each N/4N pair (see Level/runPair); best-of-N filters steal bursts.
     // 4|16 pin to disjoint core ranges; 8|32 necessarily overlap (8+32>32)
     // but never run concurrently.
-    // PRIMARY N vs 4N pair: 4→16. Executor HOSTS in a cluster do not share
-    // one memory bus/LLC the way 32 local threads do; the 4→16 pair stays
-    // inside the socket's bandwidth envelope and is the faithful analog of
-    // adding hosts. 8→32 (which saturates the whole socket) is reported
-    // alongside. Rationale + raw numbers: BENCH.md / BASELINE.md.
-    // the primary pair is measured in TWO windows (start and end of the
-    // scaling phase, decorrelating minutes-long steal bursts); each window's
-    // estimate is itself downward-biased, so the larger window is the less
-    // biased point estimate
+    // PRIMARY N vs 4N pair for the fused kernel: 4→16. Executor HOSTS in a
+    // cluster do not share one memory bus/LLC the way 32 local threads do;
+    // the 4→16 pair stays inside the socket's bandwidth envelope for the
+    // compute-dense kernel and is the faithful analog of adding hosts. 8→32
+    // (which saturates the whole socket) is reported alongside. Rationale +
+    // raw numbers: BENCH.md / BASELINE.md.
+    // THREE windows bracket the scaling phase (decorrelating minutes-long
+    // steal bursts). Each window's estimate is max(paired-round median,
+    // ratio of bests) — both downward-biased under steal — and the HEADLINE
+    // is the MEDIAN across windows (round-2 advice: a max across windows
+    // selects positive noise; the median is robust in both directions).
     val (kg4a, kg16a, effA) = runPair(4, 0, 16, 16, repl, reps)
     val (kg8, kg32, eff832) = runPair(8, 0, 32, 0, repl, reps)
     val (kg4b, kg16b, effB) = runPair(4, 0, 16, 16, repl, reps)
-    val eff = math.max(effA, effB)
-    val kg4 = if (kg4a.bestSec <= kg4b.bestSec) kg4a else kg4b
-    val kg16 = if (kg16a.bestSec <= kg16b.bestSec) kg16a else kg16b
-    System.err.println(f"[bench] 4v16 windows: $effA%.3f / $effB%.3f -> $eff%.3f")
+    val (kg4c, kg16c, effC) = runPair(4, 0, 16, 16, repl, reps)
+    val windows = Seq(effA, effB, effC)
+    val eff = windows.sorted.apply(1) // median of 3
+    val kg4 = Seq(kg4a, kg4b, kg4c).minBy(_.bestSec)
+    val kg16 = Seq(kg16a, kg16b, kg16c).minBy(_.bestSec)
+    System.err.println(
+      f"[bench] 4v16 windows: $effA%.3f / $effB%.3f / $effC%.3f -> median $eff%.3f")
+
+    // ---- FULL-PIPELINE scaling pairs (docs → canonical triples) ----
+    // The north rule names docs→canonical triples as the scaled job; round 2
+    // scaled only the zero-shuffle extraction kernel. These pairs run
+    // KgPipeline.canonicalTriplesInMemory — extraction + vocabulary gate +
+    // alias dictionary + entity linking + CC canonicalization + canonical
+    // join — through the same paired-JVM protocol.
+    // PRIMARY pair = 1→4. The pipeline's encode/join stages are far more
+    // allocation-intensive per row than the fused kernel, and measured
+    // task-CPU per row on this box rises with BUSY CORE COUNT in proportion
+    // to each stage's memory traffic (parquet scan 1.04×, kernel 1.14×,
+    // agg+shuffle-write ~1.3×, encode+join ~1.5× at 8 busy cores vs 2;
+    // p1→p2 is flat) — the single socket's DRAM slice saturates, which a
+    // multi-host cluster does not pay (each added host brings its own
+    // memory controllers). 1→4 is the largest N whose 4N level still sits
+    // inside that envelope, so it measures the ENGINE's coordination
+    // overhead; 2→8 is reported alongside as the saturated-socket bound.
+    // Full gradient table + serial-floor audit: BENCH.md.
+    val pipeRepl = sys.env.getOrElse("SPARK_GRAFT_BENCH_PIPE_REPL", "1024").toInt
+    val pipeReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_PIPE_REPS", "5").toInt
+    val pipeReps2 = sys.env.getOrElse("SPARK_GRAFT_BENCH_PIPE_REPS2", "3").toInt
+    val (pipe1, pipe4, effPipe) = runPair(1, 0, 4, 4, pipeRepl, pipeReps, job = "pipeline")
+    val (pipe2, pipe8, effPipe28) = runPair(2, 0, 8, 8, pipeRepl, pipeReps2, job = "pipeline")
+    System.err.println(f"[bench] pipeline 1v4 -> $effPipe%.3f, 2v8 -> $effPipe28%.3f")
     // headline = the run at the requested parallelism
     val headline = if (cpus == 8) kg8 else if (cpus == 16) kg16 else if (cpus == 4) kg4 else kg32
     val (docsN, triplesN, kgSec) = (headline.docs, headline.triples, headline.bestSec)
@@ -215,10 +258,19 @@ object Bench {
         f""""kg":{"docs":$docsN,"triples":$triplesN,"sec":$kgSec%.3f,"triples_per_sec":${triplesN / kgSec}%.1f},""" +
         f""""scaling":{"pair":"4->16","tps_p4":$tps4%.1f,"tps_p16":$tps16%.1f,"efficiency":$eff%.3f,""" +
         f""""tps_p8":$tps8%.1f,"tps_p32":$tps32%.1f,"efficiency_8_32":$eff832%.3f,""" +
-        f""""eff_windows":[$effA%.3f,$effB%.3f],""" +
+        f""""eff_windows":[$effA%.3f,$effB%.3f,$effC%.3f],""" +
+        f""""eff_windows_min":${windows.min}%.3f,"eff_windows_max":${windows.max}%.3f,""" +
         s""""isolation":"fresh JVM per level, GC threads = cores, taskset-pinned; """ +
-        s"""alternating paired reps; efficiency = max over 2 windows of """ +
+        s"""alternating paired reps; efficiency = MEDIAN over 3 windows of """ +
         s"""max(paired-round median, ratio of bests) - see BENCH.md"},""" +
+        f""""scaling_pipeline":{"job":"docs->canonical triples (extract+vocab gate+link+CC+canon)",""" +
+        f""""pair":"1->4","docs":${pipe1.docs},"triples":${pipe1.triples},""" +
+        f""""tps_p1":${pipe1.tps}%.1f,"tps_p4":${pipe4.tps}%.1f,"efficiency":$effPipe%.3f,""" +
+        f""""tps_p2":${pipe2.tps}%.1f,"tps_p8":${pipe8.tps}%.1f,"efficiency_2_8":$effPipe28%.3f,""" +
+        s""""note":"primary pair sits inside the socket's DRAM envelope (measured """ +
+        s"""per-stage CPU/row inflation gradient vs busy cores) so the ratio reflects """ +
+        s"""engine coordination; 2->8 reported alongside as the saturated-socket """ +
+        s"""bound - see BENCH.md"},""" +
         s""""sf":"$sfDir"}""")
   }
 }

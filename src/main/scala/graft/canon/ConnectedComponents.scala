@@ -1,7 +1,7 @@
 package graft.canon
 
 import graft.tableio.TableIO
-import org.apache.spark.sql.{DataFrame, Observation}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -11,25 +11,33 @@ import org.apache.spark.storage.StorageLevel
   *
   *   label(v) ← min(label(v), min over neighbors u of label(u))
   *
-  * repeated until a fixpoint. Converges in O(graph diameter) rounds; entity-
-  * synonym / near-dup graphs are unions of small-diameter clusters, so rounds
-  * stay low even at 10^12 nodes.
+  *   label(v) ← min(label(v), label(label(v)))        (pointer shortcut)
   *
-  * Round cost (round-2 rework): ONE action per round — the count of changed
-  * labels is observed (`Dataset.observe`) on the very plan that materializes
-  * the round, so convergence detection no longer re-executes the round the
-  * way the old Σ-label probe did. Each round is one shuffle-join (edges ⋈
-  * labels) plus one aggregation plus a labels-side merge join, all keyed by
-  * the vertex id.
+  * repeated until a fixpoint. The shortcut step doubles label-pointer depth
+  * per round, so convergence is O(log diameter) rounds — entity-synonym /
+  * near-dup graphs are unions of small-diameter clusters (2-3 rounds), and
+  * even an adversarial multi-thousand-node chain converges in ~a dozen
+  * rounds (CanonSpec) instead of silently exhausting `maxIter` at
+  * Θ(diameter), which plain hash-min would.
   *
-  * Checkpointing: with `ckptDir` set, every `checkpointEvery`-th round
-  * commits the labels through TableIO — a DURABLE parquet snapshot that both
-  * truncates lineage and survives executor/driver loss; a rerun with the same
-  * `ckptDir` resumes from the last committed labels (hash-min is monotone and
-  * idempotent, so resuming from any intermediate labeling is exact). Without
-  * `ckptDir` (unit-test / demo mode) lineage is truncated in-memory via
-  * `localCheckpoint`, which is NOT fault-tolerant — production callers (the
-  * KG pipeline) always pass a directory.
+  * Round cost (round-3 rework): ONE action per round, and the convergence
+  * signal rides ON that action — the round's labels (plus a per-row `__chg`
+  * bit) are persisted and materialized by a single `sum(__chg)` aggregation
+  * over the cache being built. Round 2 used `Dataset.observe` for this;
+  * measured here, `Observation.get` stalls ~2 s per round waiting on the
+  * listener bus — a pure serial cost per iteration — while the direct
+  * aggregate returns with the action itself.
+  *
+  * Lineage: each round's logical plan would otherwise nest every previous
+  * round (planning time then grows linearly with iteration, and the FIRST
+  * rounds carry the whole upstream pipeline tree). The edge table is
+  * lineage-truncated once at entry (`localCheckpoint`), and labels are
+  * truncated every `checkpointEvery` rounds — durably through TableIO when
+  * `ckptDir` is given (survives process loss; a rerun with the same `ckptDir`
+  * resumes from the last committed labels — hash-min is monotone and
+  * idempotent, so resuming from any intermediate labeling is exact), else via
+  * `localCheckpoint` (unit-test / demo mode, not fault-tolerant — production
+  * callers always pass a directory).
   */
 object ConnectedComponents {
 
@@ -39,10 +47,13 @@ object ConnectedComponents {
     */
   def run(edges: DataFrame, maxIter: Int = 50, checkpointEvery: Int = 5,
           ckptDir: Option[String] = None): DataFrame = {
+    // symmetrize once; truncate lineage so no round re-plans the upstream
+    // pipeline (on failure with ckptDir set, the caller's rerun rebuilds sym
+    // from its own committed stage and resumes labels from the table below)
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = true)
 
     val table = ckptDir.map(d => s"$d/cc_labels")
     var labels = table.filter(t => TableIO.currentVersion(t).isDefined) match {
@@ -50,11 +61,16 @@ object ConnectedComponents {
         // resume from the last committed round's labels
         TableIO.read(edges.sparkSession, t)
       case None =>
+        // left LAZY on purpose: the init plan is one distinct over the sym
+        // leaf, re-derived only inside round 1's own job — an eager
+        // materialization here would be a whole extra driver round-trip per
+        // CC invocation (the per-job constant dominates dictionary-sized
+        // stages; see BENCH.md serial-floor table)
         sym.select(col("src").as("id")).distinct()
           .withColumn("component", col("id"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
     }
 
+    var pinned: Option[DataFrame] = None // persisted round frame backing `labels`
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -63,36 +79,51 @@ object ConnectedComponents {
         .join(labels, sym("src") === labels("id"))
         .groupBy(sym("dst").as("id"))
         .agg(min("component").as("cand"))
-      val obs = Observation(s"cc-round-$iter-${System.identityHashCode(sym)}")
-      val next = labels
+      val stepped = labels
         .join(pushed, Seq("id"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("cand"), col("component"))).as("component"),
-          (coalesce(col("cand"), col("component")) < col("component"))
+        .select(col("id"), col("component"),
+          least(col("component"), coalesce(col("cand"), col("component"))).as("m"))
+      // pointer-shortcut fused into the same round plan: follow the
+      // candidate label one more hop through the PREVIOUS round's labels
+      // (labels are always ids of reachable nodes, so composition stays
+      // reachable and monotone). Plain hash-min needs Θ(diameter) rounds —
+      // a 3 000-node chain would silently exhaust maxIter; with the
+      // shortcut the label pointer depth doubles per round, so rounds are
+      // O(log diameter) (CanonSpec pins a 3 000-chain inside 24 rounds).
+      // Cost: one extra labels-sized join per round, not edge-sized.
+      val parent = labels.select(col("id").as("__pid"), col("component").as("__pcomp"))
+      val next = stepped
+        .join(parent, col("m") === col("__pid"), "left")
+        .select(stepped("id"),
+          least(col("m"), coalesce(col("__pcomp"), col("m"))).as("component"),
+          (least(col("m"), coalesce(col("__pcomp"), col("m"))) < stepped("component"))
             .cast("long").as("__chg"))
-        .observe(obs, sum("__chg").as("changed"))
-        .select("id", "component")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // the round's single action: materializes the persist AND returns the
+      // number of labels that changed
+      val changed = next.agg(coalesce(sum("__chg"), lit(0L))).first().getLong(0)
 
       val durable = table.isDefined && (iter + 1) % checkpointEvery == 0
-      val materialized =
+      val (materialized, nowPinned) =
         if (durable) {
-          // the TableIO write is the round's single action; re-reading the
-          // snapshot gives a lineage-free, fault-tolerant labels frame
-          TableIO.commit(next, table.get)
-          TableIO.read(edges.sparkSession, table.get)
+          // scan of the just-built cache; the committed snapshot is durable
+          // AND lineage-free
+          TableIO.commit(next.select("id", "component"), table.get)
+          next.unpersist(blocking = false)
+          (TableIO.read(edges.sparkSession, table.get), None)
         } else if ((iter + 1) % checkpointEvery == 0) {
-          next.localCheckpoint(eager = true)
+          val lc = next.select("id", "component").localCheckpoint(eager = true)
+          next.unpersist(blocking = false)
+          (lc, None)
         } else {
-          val p = next.persist(StorageLevel.MEMORY_AND_DISK)
-          p.count() // the round's single action (metrics observed on it)
-          p
+          (next.select("id", "component"), Some(next))
         }
-      labels.unpersist(blocking = false)
+      pinned.foreach(_.unpersist(blocking = false))
+      pinned = nowPinned
       labels = materialized
-      converged = obs.get("changed").asInstanceOf[Long] == 0L
+      converged = changed == 0L
       iter += 1
     }
-    sym.unpersist(blocking = false)
     labels
   }
 }

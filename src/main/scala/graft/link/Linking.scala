@@ -31,11 +31,21 @@ object Linking {
     * DataFrame of alias strings.
     */
   def buildAliasDictFromSurfaces(surfaces: DataFrame, minCount: Long = 1): Dataset[AliasEntry] = {
-    val spark = surfaces.sparkSession
-    import spark.implicits._
     val counts = surfaces.toDF("alias")
       .groupBy("alias").agg(count(lit(1)).as("freq"))
       .filter(col("freq") >= minCount)
+    buildAliasDictFromCounts(counts)
+  }
+
+  /** Dictionary build from a pre-aggregated `(alias, freq)` frame. The rank
+    * assignment references `counts` several times (range-partition sampling,
+    * the broadcast total) — callers on a non-trivial lineage should persist
+    * `counts` first so those references hit a dictionary-sized cache instead
+    * of re-running the upstream corpus scan.
+    */
+  def buildAliasDictFromCounts(counts: DataFrame): Dataset[AliasEntry] = {
+    val spark = counts.sparkSession
+    import spark.implicits._
     // alias count grows with the corpus (Heaps' law), so the id assignment is
     // a range-partitioned global row number, not a single-partition window,
     // and the normalizer is a broadcast scalar, not a driver action

@@ -117,6 +117,119 @@ object KgPipeline {
     }
   }
 
+  /** The full docs→canonical-triples dataflow WITHOUT durable stage commits —
+    * the scaling-benchmark job (BENCH.md "pipeline pair"). Same stage graph
+    * as `run`: narrow fused extraction → corpus-derived dictionary gate
+    * (shuffle agg + semi-joins) → alias dictionary (shuffle agg +
+    * range-partitioned rank) → entity-link join → connected-components
+    * canonicalization (iterative shuffle) → canonical join. TableIO is
+    * deliberately absent so the measurement scales the ENGINE's shuffle-
+    * bearing stages, not the local filesystem.
+    *
+    * One declared delta vs `run`: the signature-whitelist gate is subsumed by
+    * the fused kernel's scoring pass (the kernel computes each signature
+    * once, inline), so the dictionary-gate shuffle shape is exercised by the
+    * vocabulary gate instead — same pattern (corpus-wide agg + left-semi
+    * join), strictly larger dictionary.
+    */
+  def canonicalTriplesInMemory(docs: Dataset[(Long, String)],
+                               vocabMinCount: Long = 2): DataFrame = {
+    // Pass economy at 10^12 rows — two corpus-scale passes, NOTHING
+    // corpus-scale is materialized:
+    //   pass 1: fused extraction → (subj, obj) PAIR aggregation. Map-side
+    //           partial aggregation means the shuffle carries per-task
+    //           distinct pairs, and the result is Heaps-bounded (distinct
+    //           surface pairs), not corpus-sized. Every dictionary stage
+    //           below derives from this small table.
+    //   pass 2: fused extraction again → two broadcast joins → output.
+    // An earlier revision cached the full triple stream and scanned it three
+    // times; measured on this machine the columnar cache round-trip
+    // (compress + decompress + string materialization) costs MORE memory
+    // bandwidth than re-running the allocation-lean kernel, and its CPU
+    // inflates 2-2.7× with core count while the kernel's stays flat
+    // (BENCH.md). Recompute-over-cache is also the 100 TB-honest choice: the
+    // production `run` gets pass economy from durable TableIO parquet
+    // commits instead.
+    // localCheckpoint (not persist): the pair table is the lineage boundary
+    // between the corpus-scale pass and a dozen dictionary-sized actions —
+    // as a LogicalRDD leaf each of those actions analyzes/optimizes a
+    // few-node plan, while behind a persist every action re-plans the whole
+    // corpus subtree (~1-1.5 s of driver time per rep, measured; a pure
+    // serial cost the scaling pair would mis-attribute to the engine)
+    val pairCounts = Extract.triplesFused(docs).toDF()
+      .groupBy("subj", "obj").agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = true)
+
+    // (B) is_ok_sdp rule 1 input: corpus-wide endpoint frequencies —
+    // dictionary-sized rollup of the pair table (a triple with subj==obj
+    // still counts that surface twice, as in the staged pipeline)
+    val endpointCounts = pairCounts.select(col("subj").as("surface"), col("n"))
+      .unionAll(pairCounts.select(col("obj").as("surface"), col("n")))
+    // vocab is referenced by two broadcast builds; materialized once so each
+    // build scans the tiny leaf instead of re-aggregating the pair table
+    val vocab = endpointCounts
+      .groupBy("surface").agg(sum("n").as("cnt"))
+      .filter(col("cnt") >= vocabMinCount).select("surface")
+      .localCheckpoint(eager = true)
+
+    // (C) alias frequency over the GATED stream (matches `run`: the
+    // dictionary ranks what survives the vocab gate), computed from gated
+    // PAIRS weighted by n — identical multiset to re-scanning the stream.
+    // Explicit broadcast: vocab sits behind the persist boundary, so the
+    // planner has no stats; unhinted this degrades to shuffle joins.
+    val gatedPairs = pairCounts
+      .join(broadcast(vocab.withColumnRenamed("surface", "__xs")),
+        col("subj") === col("__xs"), "left_semi")
+      .join(broadcast(vocab.withColumnRenamed("surface", "__ys")),
+        col("obj") === col("__ys"), "left_semi")
+    val gatedCounts = gatedPairs.select(col("subj").as("alias"), col("n"))
+      .unionAll(gatedPairs.select(col("obj").as("alias"), col("n")))
+      .groupBy("alias").agg(sum("n").as("freq"))
+      .localCheckpoint(eager = true)
+    val aliasDict = Linking.buildAliasDictFromCounts(gatedCounts).toDF()
+      .localCheckpoint(eager = true)
+
+    // canonicalization: CC over stem-variant edges of the dictionary. No
+    // self-edges — entities outside every variant edge keep their own id via
+    // the left-join coalesce below, so CC runs on the (much smaller) variant
+    // subgraph only. The stem self-join stays a shuffle join deliberately:
+    // at 100 TB the dictionary is Heaps-large on BOTH sides.
+    val d = aliasDict.select(col("alias"), col("entity_id"))
+    val stemmed = d.select(col("entity_id").as("src_id"), stem(col("alias")).as("stem"))
+    val byStem = d.select(col("alias").as("stem_alias"), col("entity_id").as("dst_id"))
+    val variantEdges = stemmed
+      .join(byStem, col("stem") === col("stem_alias"))
+      .select(col("src_id").as("src"), col("dst_id").as("dst"))
+    val canon = ConnectedComponents.run(variantEdges)
+      .select(col("id").as("entity_id"), col("component").as("canonical_id"))
+
+    // Compose canonicalization INTO the dictionary (dictionary-sized join)
+    // instead of joining it onto the linked triple stream: the 10^12-row
+    // stream is probed TWICE total (subj leg, obj leg) rather than four
+    // times. Row-equal to the staged gate→link→canon composition of `run`:
+    // subj_id = canon[dict[subj]] (dict hits never need the OOV fallback
+    // after the gate), and the vocab gate itself is equivalent to inner-join
+    // membership in the gated dictionary — an alias is in that dictionary
+    // iff it survives the gate in some triple, and a triple survives iff
+    // BOTH its endpoints are in-vocab.
+    val dictCanon = broadcast(
+      d.join(canon, d("entity_id") === canon("entity_id"), "left")
+        .select(d("alias"),
+          coalesce(col("canonical_id"), d("entity_id")).as("canon_id")))
+
+    // (D) output pass: re-extract, then gate + link + canonicalize in one
+    // narrow stage (two broadcast hash joins; the dictionary side outgrows
+    // broadcast on extreme corpora — Linking.saltedLeftJoin is the
+    // degradation path, as in the staged pipeline)
+    Extract.triplesFused(docs).toDF()
+      .join(dictCanon.withColumnRenamed("alias", "s_alias")
+        .withColumnRenamed("canon_id", "subj_id"), col("subj") === col("s_alias"))
+      .join(dictCanon.withColumnRenamed("alias", "o_alias")
+        .withColumnRenamed("canon_id", "obj_id"), col("obj") === col("o_alias"))
+      .select(col("subj_id"), col("pred"), col("obj_id"),
+        col("subj"), col("obj"), col("doc_id"), col("span_idx"), col("score"))
+  }
+
   /** Entity table for the emitted graph: canonical id per alias. */
   def entityTable(spark: SparkSession, runDir: String): DataFrame = {
     val log = new StageLog(spark, runDir)

@@ -179,6 +179,47 @@ object MiscQueries {
       val pool = cands.select(col("x")).distinct()
       NegativeSampling.withNegativesDistributed(cands, pool, negPer = 2)
         .select("doc_id", "span_idx", "x", "y", "label", "copy")
+    }),
+
+    // M4 + M6 + M12: batch loss forward passes (sigmoid xent, 3-way softmax
+    // xent, margin ranking) as codegen'd column expressions over
+    // deterministic pseudo-logits; per-row floor to micro-units then integer
+    // group sums — exact across engines (see Losses scaladoc).
+    "q47_losses" -> ((s, dir) => {
+      val sc = (col("l_quantity") - 25.0) / 10.0
+      val so = (col("l_linenumber").cast("double") - 3.0) / 2.0
+      val y = when(col("l_returnflag") === "R", 1.0).otherwise(0.0)
+      val k = when(col("l_returnflag") === "R", 0)
+        .when(col("l_returnflag") === "A", 1).otherwise(lit(2))
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          floor(graft.score.Losses.sigmoidXentCol(sc, y) * 1e6).as("sig"),
+          floor(graft.score.Losses.marginRankCol(lit(1.0), sc, so) * 1e6).as("marg"),
+          floor(graft.score.Losses.softmaxXent3Col(sc, so, sc * so / 5.0, k) * 1e6).as("soft"))
+        .groupBy("flag")
+        .agg(sum("sig").as("sig_xent_upm"), sum("marg").as("margin_upm"),
+          sum("soft").as("softmax_xent_upm"), count(lit(1)).as("n"))
+    }),
+
+    // M7: one distributed Adam step with per-tensor clip_by_norm — the
+    // parameter-server shape: rows are coordinates, the clip factor comes
+    // from a per-tensor windowed aggregation, the update rule is
+    // Losses.adamFirstStepCol (pure IEEE ops, so the oracle is bit-exact).
+    // The gradient-norm sum is floor-scaled per term to pico-units first:
+    // float sums are order-dependent, integer sums are not.
+    "q48_adam_step" -> ((s, dir) => {
+      val g = (col("l_quantity") - 25.0) / 10.0
+      val rows = t(s, dir, "lineitem").select(
+        (col("l_suppkey") % 8).as("tensor_id"),
+        (col("l_orderkey") * 8 + col("l_linenumber")).as("coord_id"),
+        ((col("l_partkey") % 100).cast("double") / 100.0).as("param"),
+        g.as("grad"))
+      val w = Window.partitionBy("tensor_id")
+      val n2i = sum(floor(col("grad") * col("grad") * 1e12)).over(w)
+      val clip = least(lit(1.0), lit(3.0) / sqrt(n2i.cast("double") / 1e12))
+      rows.select(col("tensor_id"), col("coord_id"),
+        floor(graft.score.Losses.adamFirstStepCol(col("param"), col("grad"), clip) * 1e9)
+          .as("new_param_npu"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -259,5 +300,41 @@ object MiscQueries {
         |UNION ALL
         |SELECT doc_id, 'rev' AS dir, list_reverse(toks)[1] AS head, len(toks)::BIGINT AS n
         |FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks FROM documents)""".stripMargin
-        .replace("\n", " "))
+        .replace("\n", " "),
+    // q47/q48: the SQL mirrors the Spark expression TREES node for node
+    // (same associativity, same literals) — +,−,×,÷,√,greatest are IEEE
+    // correctly rounded so those match bit-exactly; ln/exp are 1-ulp libm
+    // calls whose floor-scaled outputs sit ~4e-10 of a unit from any
+    // boundary (q29 precedent). Integer sums of per-row floors are
+    // order-free; ::BIGINT casts defeat DuckDB's HUGEINT promotion.
+    "q47_losses" ->
+      """WITH b AS (SELECT l_returnflag AS flag,
+        |  (l_quantity - 25.0) / 10.0 AS s,
+        |  (l_linenumber::DOUBLE - 3.0) / 2.0 AS so,
+        |  CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y,
+        |  CASE WHEN l_returnflag = 'R' THEN 0 WHEN l_returnflag = 'A' THEN 1 ELSE 2 END AS k
+        |  FROM lineitem),
+        |m AS (SELECT *, greatest(s, so, s * so / 5.0) AS mx FROM b),
+        |l AS (SELECT flag,
+        |  floor((greatest(s, 0.0) - s * y + ln(1.0 + exp(-abs(s)))) * 1e6)::BIGINT AS sig,
+        |  floor(greatest(0.0, 1.0 - s + so) * 1e6)::BIGINT AS marg,
+        |  floor(((ln(exp(s - mx) + exp(so - mx) + exp(s * so / 5.0 - mx)) + mx)
+        |    - CASE WHEN k = 0 THEN s WHEN k = 1 THEN so ELSE s * so / 5.0 END) * 1e6)::BIGINT AS soft
+        |  FROM m)
+        |SELECT flag, sum(sig)::BIGINT AS sig_xent_upm, sum(marg)::BIGINT AS margin_upm,
+        |  sum(soft)::BIGINT AS softmax_xent_upm, count(*) AS n
+        |FROM l GROUP BY flag""".stripMargin.replace("\n", " "),
+    "q48_adam_step" ->
+      """WITH r AS (SELECT (l_suppkey % 8) AS tensor_id,
+        |  (l_orderkey * 8 + l_linenumber) AS coord_id,
+        |  ((l_partkey % 100)::DOUBLE / 100.0) AS param,
+        |  (l_quantity - 25.0) / 10.0 AS grad FROM lineitem),
+        |w AS (SELECT *, (sum(floor(grad * grad * 1e12)::BIGINT)
+        |  OVER (PARTITION BY tensor_id))::BIGINT AS n2i FROM r),
+        |c AS (SELECT tensor_id, coord_id, param,
+        |  grad * least(1.0, 3.0 / sqrt((n2i::DOUBLE) / 1e12)) AS g FROM w)
+        |SELECT tensor_id, coord_id,
+        |  floor((param - 0.001 * (sqrt(1.0 - 0.999) * g)
+        |    / (sqrt(1.0 - 0.999) * sqrt(g * g) + 1e-8)) * 1e9)::BIGINT AS new_param_npu
+        |FROM c""".stripMargin.replace("\n", " "))
 }

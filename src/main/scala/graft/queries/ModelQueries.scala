@@ -61,6 +61,15 @@ object ModelQueries {
     "q46_cluster_softmax" -> ((s, dir) =>
       NeuralScorer.clusterPairScores(cands(s, dir))),
 
+    // M13 + M14 + M15: the reference's abandoned prototype heads (3-way
+    // tensor inner product, keras diag-bilinear layer, child-sum TreeRNN
+    // over the sentence dependency tree) — one narrow stage, per-sentence
+    // tree state shared across that sentence's candidates; rows-only,
+    // fixture-gated by ModelOpsSpec
+    "q49_prototype_scores" -> ((s, dir) =>
+      graft.score.Prototypes.prototypeScores(
+        Extract.docsToSentences(Corpus.fromDocuments(s, dir)))),
+
     // P12 faithful: forward ∪ reversed SdpCandidates with last-step word
     // rewrite and target reduction (not just the token-sequence shape of q34)
     "q44_reverse_sdp" -> ((s, dir) => {

@@ -49,10 +49,15 @@ class LinkCanonEvalSpec extends SparkSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
   }
 
-  test("connected components: adversarial long chain converges") {
-    val n = 40 // diameter 40 forces many propagation rounds + checkpoints
+  test("connected components: adversarial 3000-node chain converges in O(log d) rounds") {
+    // Plain hash-min needs Θ(diameter) = 3000 rounds here and would silently
+    // return unconverged labels at any practical maxIter. The fused pointer
+    // shortcut doubles label-pointer depth per round, so a tight 24-round
+    // budget (≈2·log₂ 3000) both converges AND pins the complexity class —
+    // if a regression drops the shortcut, this test fails, not just slows.
+    val n = 3000
     val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("src", "dst")
-    val got = ConnectedComponents.run(edges, maxIter = 60, checkpointEvery = 3)
+    val got = ConnectedComponents.run(edges, maxIter = 24, checkpointEvery = 6)
       .as[(Long, Long)].collect().toMap
     assert(got.size == n && got.values.forall(_ == 1L))
   }
