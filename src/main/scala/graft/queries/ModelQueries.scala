@@ -61,6 +61,15 @@ object ModelQueries {
     "q46_cluster_softmax" -> ((s, dir) =>
       NeuralScorer.clusterPairScores(cands(s, dir))),
 
+    // M4+M7+§2.9 COMPOSED into the reference's unsupervised training loop:
+    // negative-sampling sigmoid-xent minimized with clipped Adam, as a
+    // distributed parameter-server step (broadcast params → per-partition
+    // gradient partials → fixed-order driver reduce → Adam). One row per
+    // epoch; TrainerSpec asserts the loss decreases and accuracy beats the
+    // untrained baseline
+    "q50_train_negsamp" -> ((s, dir) =>
+      graft.score.Trainer.trainNegSampling(cands(s, dir))),
+
     // M13 + M14 + M15: the reference's abandoned prototype heads (3-way
     // tensor inner product, keras diag-bilinear layer, child-sum TreeRNN
     // over the sentence dependency tree) — one narrow stage, per-sentence

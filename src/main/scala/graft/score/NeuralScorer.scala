@@ -59,6 +59,10 @@ object NeuralScorer {
   private def bucket(w: Weights, token: String): Int =
     math.floorMod(token.hashCode, w.vocabBuckets)
 
+  /** M1 lookup exposed for composed consumers (Trainer's feature head). */
+  private[graft] def embedOf(w: Weights, token: String): Array[Float] =
+    w.embed(bucket(w, token))
+
   private def sigmoid(x: Float): Float = (1.0 / (1.0 + math.exp(-x))).toFloat
 
   /** GRU over the path's (word⊕dep⊕pos)-hashed embeddings; returns the final
