@@ -7,12 +7,12 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: media spans as opaque binary payloads with
   * typed metadata, decoded/feature-extracted in batched mapPartitions.
   *
-  * The image/audio codec libraries are not available in this container, so
-  * `decodeStub` is a clearly-marked deterministic fake standing in for a real
-  * decoder; everything Spark-side — schema, batching shape, partition
-  * behavior, pass-through of the span-sequence invariant — is real and
-  * tested (builder brief: "make the Spark-side plumbing real, stub the
-  * decode").
+  * Decoding (round 3): RIFF/WAVE PCM16 audio and binary PPM (P6) images get
+  * REAL pure-JVM decoders (`Decoders` — full chunk/header parse → samples /
+  * pixels → features + resize), dispatched by magic bytes. `decodeStub`
+  * remains only for formats whose decoders need native codec libraries this
+  * container lacks (JPEG, MP4); everything Spark-side — schema, batching
+  * shape, partition behavior, span-sequence invariant — is real and tested.
   */
 object Media {
 
@@ -43,22 +43,47 @@ object Media {
     docs.flatMap { d =>
       d.spans.iterator.zipWithIndex.collect {
         case (s, idx) if s.kind != "text" =>
-          MediaCell(d.doc_id, idx, s.kind, s.media_ref, fakeFetch(s.media_ref))
+          MediaCell(d.doc_id, idx, s.kind, s.media_ref, fetchFor(s.kind, s.media_ref))
       }
     }
   }
 
-  /** Deterministic fake payload: 64–319 bytes derived from the ref hash. */
-  private[multimodal] def fakeFetch(mediaRef: String): Array[Byte] = {
+  /** Deterministic offline payload (the object-store fetch stand-in):
+    * WELL-FORMED WAV for audio/video refs and P6 PPM for image refs, so the
+    * real decoders execute end-to-end; opaque bytes otherwise.
+    */
+  private[multimodal] def fakeFetch(mediaRef: String): Array[Byte] =
+    fetchFor("", mediaRef)
+
+  private[multimodal] def fetchFor(kind: String, mediaRef: String): Array[Byte] =
+    kind match {
+      case "audio" | "video"      => Decoders.synthWav(mediaRef)
+      case "image"                => Decoders.synthPpm(mediaRef)
+      case _ if kind.nonEmpty     => opaqueBytes(mediaRef)
+      // kind unknown at fetch time: infer from the ref's extension
+      case _ if mediaRef.endsWith(".wav") => Decoders.synthWav(mediaRef)
+      case _ if mediaRef.endsWith(".ppm") => Decoders.synthPpm(mediaRef)
+      case _                      => opaqueBytes(mediaRef)
+    }
+
+  private def opaqueBytes(mediaRef: String): Array[Byte] = {
     val seed = mediaRef.hashCode
     val n = 64 + math.floorMod(seed, 256)
     Array.tabulate(n)(i => (math.floorMod(seed * 31 + i * 7, 256) - 128).toByte)
   }
 
-  /** STUB decoder — stands in for an image/audio codec. Deterministic
-    * metadata + an 8-dim feature vector from the payload bytes. A real
-    * implementation replaces only this function; the mapPartitions batching
-    * around it is production-shaped.
+  /** Decode dispatch by magic bytes: real parsers for the self-describing
+    * formats, stub only where a native codec would be required.
+    */
+  private[multimodal] def decode(cell: MediaCell): MediaFeature =
+    if (Decoders.isWav(cell.payload)) Decoders.wavFeature(cell)
+    else if (Decoders.isPpm(cell.payload)) Decoders.ppmFeature(cell)
+    else decodeStub(cell)
+
+  /** STUB decoder — stands in for a NATIVE codec (JPEG/MP4) unavailable in
+    * this container. Deterministic metadata + an 8-dim feature vector from
+    * the payload bytes. A real implementation replaces only this function;
+    * the mapPartitions batching around it is production-shaped.
     */
   private[multimodal] def decodeStub(cell: MediaCell): MediaFeature = {
     val bytes = cell.payload
@@ -82,7 +107,7 @@ object Media {
     cells.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         // per-batch setup hook would go here (codec init, model weights)
-        batch.iterator.map(decodeStub)
+        batch.iterator.map(decode)
       }
     }
   }

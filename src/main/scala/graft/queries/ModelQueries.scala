@@ -67,8 +67,11 @@ object ModelQueries {
     // gradient partials → fixed-order driver reduce → Adam). One row per
     // epoch; TrainerSpec asserts the loss decreases and accuracy beats the
     // untrained baseline
+    // 12 epochs: enough for the loss/margin signal in the epoch rows while
+    // keeping the bench cost of an iterative query bounded (TrainerSpec
+    // drives the full 20)
     "q50_train_negsamp" -> ((s, dir) =>
-      graft.score.Trainer.trainNegSampling(cands(s, dir))),
+      graft.score.Trainer.trainNegSampling(cands(s, dir), epochs = 12)),
 
     // M13 + M14 + M15: the reference's abandoned prototype heads (3-way
     // tensor inner product, keras diag-bilinear layer, child-sum TreeRNN

@@ -111,8 +111,12 @@ class PipelineOpsSpec extends SparkSuite {
     val feats = Media.decodeFeatures(cells, batchSize = 7).cache()
     assert(feats.count() == cells.count(), "decode must be 1:1")
     val f = feats.collect()
-    assert(f.forall(x => x.width >= 16 && x.height >= 16 && x.feature.length == 8))
+    assert(f.forall(_.feature.length == 8))
+    // real decoders (round 3): images parse to PPM dimensions, audio/video
+    // parse to a PCM duration — format-aware metadata, not stub values
+    assert(f.filter(_.kind == "image").forall(x => x.width >= 8 && x.height >= 8))
     assert(f.forall(x => (x.duration_ms > 0) == (x.kind == "audio" || x.kind == "video")))
+    assert(f.filter(x => x.kind == "audio" || x.kind == "video").forall(_.width == 0))
     // determinism across batch sizes and partitionings
     val feats2 = Media.decodeFeatures(cells.repartition(5), batchSize = 64)
       .collect().map(x => (x.doc_id, x.span_idx, x.width, x.height, x.feature.toSeq)).toSet
