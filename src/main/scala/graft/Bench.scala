@@ -118,27 +118,51 @@ object Bench {
     * The caller reports the max of the two: for two estimators that only
     * under-estimate, the larger is the less biased point estimate of the
     * engine's noise-free scaling.
+    *
+    * `windows = 1`: `reps` alternating rounds, first = paired warmup,
+    * estimate = max(median of scored ratios, ratio of session bests).
+    * `windows > 1`: 1 warmup + `windows`×`reps` rounds in ONE pair session;
+    * the scored rounds split into `windows` consecutive time-windows, each
+    * estimated as max(window median, window bests), and the pair's estimate
+    * is the MEDIAN across windows. Used for the (long-rep) pipeline pair:
+    * its per-rep steal drift is large relative to 4-5 rounds, and in-session
+    * windows spanning ~20 min decorrelate the minutes-long bursts without
+    * paying JVM spin-up + warmup three times over.
     */
   private def runPair(small: Int, smallPin: Int, big: Int, bigPin: Int,
                       repl: Int, reps: Int,
-                      job: String = "fused"): (KgStats, KgStats, Double) = {
+                      job: String = "fused",
+                      windows: Int = 1): (KgStats, KgStats, Double) = {
     val a = new Level(small, repl, smallPin, job)
     val b = new Level(big, repl, bigPin, job)
     try {
-      val all = (1 to reps).map { _ =>
+      val rounds = if (windows > 1) 1 + windows * reps else reps
+      val all = (1 to rounds).map { _ =>
         val tpsA = a.runRep(s"$job ${small}v$big")
         val tpsB = b.runRep(s"$job ${small}v$big")
-        tpsB / (4.0 * tpsA)
+        (tpsA, tpsB)
       }
       // the first alternating round is paired warmup (residual JIT/cache
-      // effects consistently depress it); median over the scored rest
-      val scored = all.drop(1).sorted
-      val median = scored(scored.size / 2)
-      val bests = b.best.tps / (4.0 * a.best.tps)
-      val eff = math.max(median, bests)
+      // effects consistently depress it)
+      val scored = all.drop(1)
+      def est(w: Seq[(Double, Double)], bests: Double): Double = {
+        val ratios = w.map { case (ta, tb) => tb / (4.0 * ta) }.sorted
+        math.max(ratios(ratios.size / 2), bests)
+      }
+      val eff =
+        if (windows <= 1) est(scored, b.best.tps / (4.0 * a.best.tps))
+        else {
+          val ests = scored.grouped(reps).take(windows).map { w =>
+            est(w, w.map(_._2).max / (4.0 * w.map(_._1).max))
+          }.toVector
+          System.err.println(
+            f"[bench $job ${small}v$big] window estimates ${ests.map(e => f"$e%.3f").mkString(" ")}")
+          ests.sorted.apply(ests.size / 2)
+        }
+      val ratios = all.map { case (ta, tb) => tb / (4.0 * ta) }
       System.err.println(
-        f"[bench ${small}v$big] round ratios ${all.map(r => f"$r%.3f").mkString(" ")} " +
-          f"(first = warmup) -> median $median%.3f, bests $bests%.3f -> eff $eff%.3f")
+        f"[bench $job ${small}v$big] round ratios ${ratios.map(r => f"$r%.3f").mkString(" ")} " +
+          f"(first = warmup) -> eff $eff%.3f")
       (a.best, b.best, eff)
     } finally { a.close(); b.close() }
   }
@@ -160,9 +184,9 @@ object Bench {
     // dev harness: measure ONLY the pipeline pairs, print their JSON, exit
     if (sys.env.contains("SPARK_GRAFT_BENCH_PIPE_ONLY")) {
       val pr = sys.env.getOrElse("SPARK_GRAFT_BENCH_PIPE_REPL", "1024").toInt
-      val pp = sys.env.getOrElse("SPARK_GRAFT_BENCH_PIPE_REPS", "5").toInt
+      val pp = sys.env.getOrElse("SPARK_GRAFT_BENCH_PIPE_REPS", "3").toInt
       val pp2 = sys.env.getOrElse("SPARK_GRAFT_BENCH_PIPE_REPS2", "3").toInt
-      val (p1, p4, pe) = runPair(1, 0, 4, 4, pr, pp, job = "pipeline")
+      val (p1, p4, pe) = runPair(1, 0, 4, 4, pr, pp, job = "pipeline", windows = 3)
       val (p2, p8, pe28) = runPair(2, 0, 8, 8, pr, pp2, job = "pipeline")
       println(f"""{"scaling_pipeline":{"pair":"1->4","docs":${p1.docs},""" +
         f""""tps_p1":${p1.tps}%.1f,"tps_p4":${p4.tps}%.1f,"efficiency":$pe%.3f,""" +
@@ -215,9 +239,10 @@ object Bench {
     // overhead; 2→8 is reported alongside as the saturated-socket bound.
     // Full gradient table + serial-floor audit: BENCH.md.
     val pipeRepl = sys.env.getOrElse("SPARK_GRAFT_BENCH_PIPE_REPL", "1024").toInt
-    val pipeReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_PIPE_REPS", "5").toInt
+    val pipeReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_PIPE_REPS", "3").toInt
     val pipeReps2 = sys.env.getOrElse("SPARK_GRAFT_BENCH_PIPE_REPS2", "3").toInt
-    val (pipe1, pipe4, effPipe) = runPair(1, 0, 4, 4, pipeRepl, pipeReps, job = "pipeline")
+    // 3 in-session windows of 3 rounds for the primary pair (see runPair)
+    val (pipe1, pipe4, effPipe) = runPair(1, 0, 4, 4, pipeRepl, pipeReps, job = "pipeline", windows = 3)
     val (pipe2, pipe8, effPipe28) = runPair(2, 0, 8, 8, pipeRepl, pipeReps2, job = "pipeline")
     System.err.println(f"[bench] pipeline 1v4 -> $effPipe%.3f, 2v8 -> $effPipe28%.3f")
     // headline = the run at the requested parallelism

@@ -148,6 +148,11 @@ object BenchLevel {
       */
     def fence(): Unit = {
       spark.sharedState.cacheManager.clearCache()
+      // localCheckpoint blocks live in the BlockManager OUTSIDE the SQL
+      // cache; dropping them explicitly (instead of waiting for the async
+      // ContextCleaner) keeps late reps from running against a fuller heap
+      // than early ones
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       System.gc()
     }
 
