@@ -2,11 +2,13 @@ package graft.multimodal
 
 import java.nio.{ByteBuffer, ByteOrder}
 
-/** REAL pure-JVM media decoders — no codec libraries required — for the two
-  * container formats that are fully specified byte layouts: RIFF/WAVE PCM16
-  * audio and binary PPM (P6) images. These replace `Media.decodeStub` for
-  * their formats; the stub remains only for formats whose decoders genuinely
-  * need native codec libraries (JPEG, MP4), which this container lacks.
+/** REAL pure-JVM media decoders — no codec libraries required: hand-rolled
+  * parsers for the fully-specified byte layouts (RIFF/WAVE PCM16 audio,
+  * binary PPM P6 images) plus `javax.imageio.ImageIO` (pure JDK, present in
+  * every JRE) for JPEG/PNG/GIF/BMP. These replace `Media.decodeStub` for
+  * their formats; the stub remains only for VIDEO containers (MP4 etc.),
+  * whose decoders genuinely need native codec libraries this container
+  * lacks.
   *
   * Synth counterparts generate deterministic WELL-FORMED payloads from a
   * media_ref (the offline stand-in for an object-store fetch), so the real
@@ -48,12 +50,17 @@ object Decoders {
 
   /** Parse a PCM16 mono/stereo WAV: (sampleRate, channels, samples). Walks
     * RIFF chunks properly (fmt may not be first; chunk sizes pad to even).
+    * The walk only RECORDS the data chunk's extent and decodes it after the
+    * whole walk — a data chunk that precedes fmt would otherwise be skipped
+    * because the bit depth isn't known yet (ADVICE round 3). Non-16-bit PCM
+    * raises instead of silently yielding zeroed features; `Media.decode`
+    * falls back to the stub for such payloads.
     */
   def decodeWav(bytes: Array[Byte]): (Int, Int, Array[Short]) = {
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     buf.position(12) // past RIFF<size>WAVE
     var rate = 0; var channels = 0; var bits = 0
-    var samples: Array[Short] = Array.empty
+    var dataOff = -1; var dataLen = 0
     while (buf.remaining() >= 8) {
       val id = new String(Array(buf.get(), buf.get(), buf.get(), buf.get()))
       val size = buf.getInt()
@@ -65,15 +72,25 @@ object Decoders {
           rate = buf.getInt()
           buf.getInt(); buf.getShort() // byte rate, block align
           bits = buf.getShort().toInt
-        case "data" if bits == 16 =>
-          val n = size / 2
-          samples = new Array[Short](n)
-          var i = 0
-          while (i < n) { samples(i) = buf.getShort(); i += 1 }
+        case "data" =>
+          dataOff = buf.position()
+          dataLen = math.min(size, bytes.length - dataOff)
         case _ => ()
       }
       buf.position(math.min(next, bytes.length))
     }
+    if (bits != 16)
+      throw new IllegalArgumentException(s"unsupported WAV bit depth $bits (PCM16 only)")
+    val samples =
+      if (dataOff < 0) Array.empty[Short]
+      else {
+        val db = ByteBuffer.wrap(bytes, dataOff, dataLen).order(ByteOrder.LITTLE_ENDIAN)
+        val n = dataLen / 2
+        val out = new Array[Short](n)
+        var i = 0
+        while (i < n) { out(i) = db.getShort(); i += 1 }
+        out
+      }
     (rate, math.max(channels, 1), samples)
   }
 
@@ -182,6 +199,104 @@ object Decoders {
             0.114 * (px(po + 2) & 0xff)
           edge += math.abs(l - pl)
         }
+        x += 1
+      }
+      y += 1
+    }
+    val mL = luma / n
+    Media.MediaFeature(cell.doc_id, cell.span_idx, cell.kind, cell.media_ref,
+      n_bytes = cell.payload.length.toLong,
+      width = w, height = h, duration_ms = 0L,
+      feature = Array(
+        (r / n / 255).toFloat, (g / n / 255).toFloat, (b / n / 255).toFloat,
+        (mL / 255).toFloat,
+        ((luma2 / n - mL * mL) / (255.0 * 255.0)).toFloat,
+        (edge / math.max((w - 1) * h, 1) / 255).toFloat,
+        (w.toFloat / math.max(h, 1)),
+        1f))
+  }
+
+  // ---- JPEG / PNG / GIF / BMP via javax.imageio (pure JDK) ----
+  // ImageIO's JPEG/PNG/GIF/BMP readers ship in every JRE — no native codec
+  // library is involved (round-3 verdict: the earlier stub rationale for
+  // JPEG was wrong). Only video containers (MP4 etc.) genuinely need codecs
+  // this container lacks, and only they still hit `Media.decodeStub`.
+
+  def isJpeg(b: Array[Byte]): Boolean =
+    b.length > 3 && (b(0) & 0xff) == 0xFF && (b(1) & 0xff) == 0xD8 && (b(2) & 0xff) == 0xFF
+
+  def isPng(b: Array[Byte]): Boolean =
+    b.length > 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
+
+  def isGif(b: Array[Byte]): Boolean =
+    b.length > 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8'
+
+  def isBmp(b: Array[Byte]): Boolean =
+    b.length > 14 && b(0) == 'B' && b(1) == 'M'
+
+  def isImageIo(b: Array[Byte]): Boolean =
+    isJpeg(b) || isPng(b) || isGif(b) || isBmp(b)
+
+  /** The synthPpm gradient+checker pattern as a BufferedImage (shared by the
+    * PNG/JPEG synths so all three image paths decode comparable content).
+    */
+  private def synthImage(mediaRef: String): java.awt.image.BufferedImage = {
+    val seed = mediaRef.hashCode
+    val w = 8 + math.floorMod(seed, 33)
+    val h = 8 + math.floorMod(seed >> 5, 33)
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = (x * 255 / w) & 0xff
+        val g = (y * 255 / h) & 0xff
+        val b = if (((x / 4) + (y / 4)) % 2 == 0) 200 else 30
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  private def encodeImage(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic PNG (lossless — decodes back to the exact pattern). */
+  def synthPng(mediaRef: String): Array[Byte] = encodeImage(synthImage(mediaRef), "png")
+
+  /** Deterministic JPEG (lossy — decoded pixels approximate the pattern). */
+  def synthJpeg(mediaRef: String): Array[Byte] = encodeImage(synthImage(mediaRef), "jpg")
+
+  /** Image features for any ImageIO-readable payload (JPEG/PNG/GIF/BMP):
+    * same 8-dim shape as `ppmFeature` — [meanR, meanG, meanB, meanLuma,
+    * lumaVar, edge-ness, aspect, fill] — so downstream schemas are
+    * format-agnostic. Raises on undecodable bytes; `Media.decode` falls back
+    * to the stub.
+    */
+  def imageIoFeature(cell: Media.MediaCell): Media.MediaFeature = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(cell.payload))
+    if (img == null)
+      throw new IllegalArgumentException("ImageIO could not decode payload")
+    val w = img.getWidth; val h = img.getHeight
+    val n = math.max(w * h, 1)
+    var r = 0.0; var g = 0.0; var b = 0.0; var luma = 0.0; var luma2 = 0.0
+    var edge = 0.0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      var prevL = 0.0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val rv = (rgb >> 16) & 0xff; val gv = (rgb >> 8) & 0xff; val bv = rgb & 0xff
+        val l = 0.299 * rv + 0.587 * gv + 0.114 * bv
+        r += rv; g += gv; b += bv; luma += l; luma2 += l * l
+        if (x > 0) edge += math.abs(l - prevL)
+        prevL = l
         x += 1
       }
       y += 1

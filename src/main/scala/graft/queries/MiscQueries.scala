@@ -34,6 +34,22 @@ object MiscQueries {
   /** q32's cluster-dictionary bound: top-K tokens by frequency. */
   private val clusterVocabK = 1000
 
+  /** q51's annotation-batch size (the notebook's per-round label budget). */
+  private val activeLearnN = 50
+
+  /** Shared by q31/q51: per-doc token-distribution entropy in nano-nats
+    * (integer-scaled terms so the sum is order-free across engines).
+    */
+  private def docEntropy(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+      .withColumn("total", sum("cnt").over(Window.partitionBy("doc_id")))
+      .withColumn("term", expr(
+        "cast(floor(-(cast(cnt as double) / total) * ln(cast(cnt as double) / total) * 1000000000D) as bigint)"))
+      .groupBy("doc_id").agg(sum("term").as("entropy_nn"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // SimHash near-dup candidates at the scale shape: 60-bit simhash banded
     // into 4×15-bit sub-bands (bucket keyspace 4·2^15 and occupancy grows
@@ -83,15 +99,21 @@ object MiscQueries {
 
     // A12: per-doc token-distribution entropy in nano-nats (integer-scaled
     // terms so the sum is order-free)
-    "q31_entropy" -> ((s, dir) =>
-      docs(s, dir)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-        .filter(length(col("token")) > 0)
-        .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
-        .withColumn("total", sum("cnt").over(Window.partitionBy("doc_id")))
-        .withColumn("term", expr(
-          "cast(floor(-(cast(cnt as double) / total) * ln(cast(cnt as double) / total) * 1000000000D) as bigint)"))
-        .groupBy("doc_id").agg(sum("term").as("entropy_nn"))),
+    "q31_entropy" -> ((s, dir) => docEntropy(s, dir)),
+
+    // W3 as a FIRST-CLASS op (round-4; RelEmbed_semeval.ipynb cell 55):
+    // active-learning split — entropy-rank the scored pool most-uncertain-
+    // first (deterministic tie-break on doc_id), send the top-N to
+    // annotation, keep the remainder pooled. The rank is
+    // Ranks.globalRowNumber (range partition + per-partition window +
+    // broadcast prefix offsets), so the plan carries NO single-partition
+    // window at corpus scale.
+    "q51_active_learning" -> ((s, dir) =>
+      Ranks.globalRowNumber(docEntropy(s, dir),
+          Seq(col("entropy_nn").desc, col("doc_id").asc), "rank")
+        .withColumn("split",
+          when(col("rank") <= activeLearnN, lit("annotate")).otherwise(lit("pool")))
+        .select("doc_id", "entropy_nn", "rank", "split")),
 
     // J2/P15: Brown-cluster joins — deterministic cluster table, pair label.
     // The dictionary is BOUNDED at the top-K tokens by frequency (out-of-
@@ -268,6 +290,19 @@ object MiscQueries {
         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
         |  WHERE len(token) > 0 GROUP BY doc_id, token)) GROUP BY doc_id""".stripMargin
         .replace("\n", " "),
+    "q51_active_learning" ->
+      s"""WITH e AS (SELECT doc_id, sum(term)::BIGINT AS entropy_nn FROM (
+         |SELECT doc_id,
+         |floor(-(cnt::DOUBLE / total) * ln(cnt::DOUBLE / total) * 1000000000)::BIGINT AS term
+         |FROM (SELECT doc_id, token, count(*) AS cnt,
+         |  sum(count(*)) OVER (PARTITION BY doc_id) AS total
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+         |  WHERE len(token) > 0 GROUP BY doc_id, token)) GROUP BY doc_id)
+         |SELECT doc_id, entropy_nn, rank,
+         |CASE WHEN rank <= $activeLearnN THEN 'annotate' ELSE 'pool' END AS split
+         |FROM (SELECT doc_id, entropy_nn,
+         |  row_number() OVER (ORDER BY entropy_nn DESC, doc_id ASC)::BIGINT AS rank
+         |  FROM e)""".stripMargin.replace("\n", " "),
     "q32_cluster_pair" ->
       s"""WITH cl AS (SELECT ctoken, ${md5numSql("ctoken")} % 64 AS cluster FROM (
          |  SELECT token AS ctoken,

@@ -105,8 +105,10 @@ object NegativeSampling {
     * `withNegatives` (spec-verified), but the sample pool is never
     * round-tripped through the driver. Endpoint/word corruptions are drawn as
     * POOL INDICES by the same keyed RNG, then resolved by joining an indexed
-    * pool table (`Ranks.globalRowNumber` over surface asc — the same 0-based
-    * ordering `targets.sorted` gives the broadcast variant). The only driver
+    * pool table (`Ranks.globalRowNumber` over surface asc — Spark's UTF-8
+    * byte order, i.e. the SAME 0-based ordering a broadcast pool sorted with
+    * `poolOrdering` gives `withNegatives`; plain `.sorted` compares UTF-16
+    * code units and diverges, see `poolOrdering`). The only driver
     * traffic is the pool SIZE (one scalar); the index joins broadcast while
     * the pool is dictionary-sized and degrade to shuffle joins beyond that.
     *

@@ -147,8 +147,11 @@ object Prototypes {
     sentences.flatMap { s =>
       val w = bc.value
       def embed(t: Token): Array[Float] = {
-        // deterministic per-token vector from the token's lowercased text
+        // deterministic per-token vector from the token's lowercased text;
+        // hashCode 0 (e.g. "") would pin the xorshift state at 0 forever —
+        // same zero-seed guard as NegativeSampling.KeyedRng (ADVICE round 3)
         var h = t.text.toLowerCase.hashCode.toLong
+        if (h == 0L) h = 0x9E3779B97F4A7C15L
         Array.fill(w.dim) {
           h ^= h << 13; h ^= h >>> 7; h ^= h << 17
           ((h * 2685821657736338717L >>> 11).toDouble / (1L << 53) * 0.2 - 0.1).toFloat

@@ -160,8 +160,11 @@ object BenchLevel {
     // short levels otherwise spend their first timed reps still compiling
     // (and faulting file-cache pages), which skews the small-N vs large-N
     // comparison: small-N reps are long enough to warm up in-run, big-N
-    // reps are not
-    execJob(math.max(repl / 4, 1)); fence()
+    // reps are not. For the pipeline job `docs(r)` always reads the fixed
+    // full-scale corpus snapshot, so a "quarter-scale" pass would just be a
+    // second full-scale one (ADVICE round 3) — the pipeline warms up with a
+    // single full pass (plus Bench's paired warmup round on top).
+    if (job != "pipeline") { execJob(math.max(repl / 4, 1)); fence() }
     execJob(repl); fence()
     val nDocs = docs(repl).count()
 

@@ -69,6 +69,80 @@ class DecodersSpec extends AnyFunSuite {
     assert(lum.length == 1 && math.abs(lum(0) - want) < 1e-3)
   }
 
+  test("WAV: data chunk BEFORE fmt still decodes (two-pass chunk walk)") {
+    // RIFF/WAVE with the data chunk first, then fmt — legal RIFF ordering
+    val samples = Array[Short](1000, -1000, 1000, -1000)
+    val buf = ByteBuffer.allocate(44 + 2 * samples.length).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes); buf.putInt(36 + 2 * samples.length); buf.put("WAVE".getBytes)
+    buf.put("data".getBytes); buf.putInt(2 * samples.length)
+    samples.foreach(buf.putShort)
+    buf.put("fmt ".getBytes); buf.putInt(16)
+    buf.putShort(1); buf.putShort(1); buf.putInt(8000); buf.putInt(16000)
+    buf.putShort(2); buf.putShort(16)
+    val (rate, _, s) = Decoders.decodeWav(buf.array())
+    assert(rate == 8000 && s.toSeq == samples.toSeq)
+  }
+
+  test("WAV: unsupported bit depth raises (and dispatch falls back to stub)") {
+    // 8-bit PCM header with a data chunk
+    val buf = ByteBuffer.allocate(44 + 4).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes); buf.putInt(40); buf.put("WAVE".getBytes)
+    buf.put("fmt ".getBytes); buf.putInt(16)
+    buf.putShort(1); buf.putShort(1); buf.putInt(8000); buf.putInt(8000)
+    buf.putShort(1); buf.putShort(8) // block align 1, bits 8
+    buf.put("data".getBytes); buf.putInt(4)
+    buf.putInt(0x01020304)
+    val bytes = buf.array()
+    assertThrows[IllegalArgumentException](Decoders.decodeWav(bytes))
+    // the dispatch must not die on it — it degrades to the stub's shape
+    val feat = Media.decodeFor(Media.MediaCell("d", 0, "audio", "r", bytes))
+    assert(feat.n_bytes == bytes.length && feat.feature.length == 8)
+  }
+
+  test("JPEG/PNG: real ImageIO decode — magic bytes, dims, channel means") {
+    // hand-build a 4×2 image: left half pure red, right half pure blue
+    val img = new java.awt.image.BufferedImage(4, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 4)
+      img.setRGB(x, y, if (x < 2) 0xFF0000 else 0x0000FF)
+    val png = { val b = new java.io.ByteArrayOutputStream(); javax.imageio.ImageIO.write(img, "png", b); b.toByteArray }
+    val jpg = { val b = new java.io.ByteArrayOutputStream(); javax.imageio.ImageIO.write(img, "jpg", b); b.toByteArray }
+    assert(Decoders.isPng(png) && !Decoders.isJpeg(png) && !Decoders.isPpm(png))
+    assert(Decoders.isJpeg(jpg) && !Decoders.isPng(jpg) && !Decoders.isWav(jpg))
+    // PNG is lossless: channel means are exact — meanR = meanB = 0.5, meanG = 0
+    val fp = Decoders.imageIoFeature(Media.MediaCell("d", 0, "image", "r.png", png))
+    assert(fp.width == 4 && fp.height == 2)
+    assert(math.abs(fp.feature(0) - 0.5f) < 1e-4)
+    assert(math.abs(fp.feature(1) - 0.0f) < 1e-4)
+    assert(math.abs(fp.feature(2) - 0.5f) < 1e-4)
+    assert(math.abs(fp.feature(6) - 2.0f) < 1e-4) // aspect 4/2
+    // JPEG is lossy: dims exact, means within codec tolerance
+    val fj = Decoders.imageIoFeature(Media.MediaCell("d", 0, "image", "r.jpg", jpg))
+    assert(fj.width == 4 && fj.height == 2)
+    assert(math.abs(fj.feature(0) - 0.5f) < 0.15 && math.abs(fj.feature(2) - 0.5f) < 0.15)
+  }
+
+  test("dispatch routes JPEG/PNG to ImageIO, not the stub") {
+    val png = Decoders.synthPng("m://img1.png")
+    val jpg = Decoders.synthJpeg("m://img2.jpg")
+    assert(Decoders.isImageIo(png) && Decoders.isImageIo(jpg))
+    val fp = Media.decodeFor(Media.MediaCell("d", 0, "image", "m://img1.png", png))
+    val fj = Media.decodeFor(Media.MediaCell("d", 0, "image", "m://img2.jpg", jpg))
+    // the synth pattern's width/height derive from the ref hash — the stub
+    // would fabricate different dims from a payload digest
+    val expW = 8 + math.floorMod("m://img1.png".hashCode, 33)
+    val expH = 8 + math.floorMod("m://img1.png".hashCode >> 5, 33)
+    assert(fp.width == expW && fp.height == expH)
+    assert(fj.width == 8 + math.floorMod("m://img2.jpg".hashCode, 33))
+    // PNG round-trips the synth gradient exactly: same features as the PPM
+    // synth of the same ref (identical pattern, different container)
+    val ppmF = Decoders.ppmFeature(Media.MediaCell("d", 0, "image", "m://img1.png",
+      Decoders.synthPpm("m://img1.png")))
+    (0 until 8).foreach { i =>
+      assert(math.abs(fp.feature(i) - ppmF.feature(i)) < 1e-5,
+        s"feature $i: png=${fp.feature(i)} ppm=${ppmF.feature(i)}")
+    }
+  }
+
   test("synth payloads are well-formed and route to the real decoders") {
     val wav = Decoders.synthWav("m://abc.wav")
     assert(Decoders.isWav(wav) && !Decoders.isPpm(wav))
