@@ -60,11 +60,40 @@ import org.apache.spark.sql.functions._
   * <cores> CPUs) reproduces that.
   */
 object BenchLevel {
+
+  /** Build the pipeline bench corpus (replicated + Heaps-style vocabulary
+    * variation, 64-file level-independent snapshot) at `path`. Exposed so
+    * the PARENT Bench JVM — which owns all 32 cores — can materialize it
+    * once per repl and hand it to both pair levels: a taskset-pinned
+    * 1-core level writing a 1024×-replicated corpus would otherwise spend
+    * minutes of UNTIMED setup serially before READY (round-4 budget fix).
+    */
+  def buildPipelineCorpus(spark: SparkSession, sfDir: String, repl: Int,
+                          path: String): Unit = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .repartition(64, col("doc_id"))
+      .withColumn("copy", explode(sequence(lit(0), lit(repl - 1))))
+      .withColumn("text",
+        regexp_replace(
+          regexp_replace(col("text"), lit("\\bspark\\b"),
+            concat(lit("spark"), col("copy"))),
+          lit("\\btable\\b"),
+          concat(lit("table"), (col("copy") / 2).cast("int"),
+            when(pmod(col("copy"), lit(2)) === 0, lit("s")).otherwise(lit("")))))
+      .select((col("doc_id") * repl + col("copy")).as("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(path)
+  }
+
   def main(args: Array[String]): Unit = {
     val cores = args(0).toInt
     val repl = args(1).toInt
     val mode = if (args.length > 2) args(2) else "3"
     val job = if (args.length > 3) args(3) else "fused"
+    // pre-built pipeline corpus snapshot from the parent (owned and cleaned
+    // up by the parent; this level only reads it)
+    val sharedCorpus = if (args.length > 4) Some(args(4)) else None
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
@@ -86,43 +115,26 @@ object BenchLevel {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
-    def rawDocs(r: Int) = {
-      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+    def rawDocs(r: Int) =
+      spark.read.parquet(s"$sfDir/documents.parquet")
         .select(col("doc_id"), col("text"))
-        // pipeline: a LEVEL-INDEPENDENT 64-file corpus snapshot (identical
-        // bytes at every parallelism; split size, not file count, sets the
-        // level's input tasks)
-        .repartition(if (job == "pipeline") 64 else cores * 4, col("doc_id"))
+        .repartition(cores * 4, col("doc_id"))
         .withColumn("copy", explode(sequence(lit(0), lit(r - 1))))
-      val varied =
-        if (job == "pipeline")
-          // Heaps-style vocabulary growth: every copy rewrites two frequent
-          // tokens into copy-keyed variants. "spark"→"spark<c>" grows the
-          // dictionary ~linearly in corpus size; "table"→"table<c/2>[s]"
-          // emits singular/plural pairs so the stem-variant CC graph grows
-          // too (half the copies get the plural).
-          base.withColumn("text",
-            regexp_replace(
-              regexp_replace(col("text"), lit("\\bspark\\b"),
-                concat(lit("spark"), col("copy"))),
-              lit("\\btable\\b"),
-              concat(lit("table"), (col("copy") / 2).cast("int"),
-                when(pmod(col("copy"), lit(2)) === 0, lit("s")).otherwise(lit("")))))
-        else base
-      varied
         .select((col("doc_id") * r + col("copy")).as("doc_id"), col("text"))
         .as[(Long, String)]
-    }
 
-    // pipeline: the varied corpus is materialized ONCE per level to local
-    // parquet, OUTSIDE every timed window — each timed rep then starts from
-    // a realistic columnar corpus scan (the shape a production run reads)
-    // instead of re-running the synthetic corpus-variation regexes, whose
-    // string-rewrite cost is test-harness scaffolding, not engine work.
+    // pipeline: the varied corpus (Heaps-style vocabulary growth — see
+    // buildPipelineCorpus) is materialized ONCE to local parquet, OUTSIDE
+    // every timed window — each timed rep then starts from a realistic
+    // columnar corpus scan (the shape a production run reads) instead of
+    // re-running the synthetic corpus-variation regexes, whose string-
+    // rewrite cost is test-harness scaffolding, not engine work. The parent
+    // Bench normally pre-builds and passes it (arg 5); standalone levels
+    // build their own.
     val corpusPath: Option[String] =
-      if (job == "pipeline") {
+      if (job == "pipeline") sharedCorpus.orElse {
         val p = s"/tmp/graft-pipe-corpus-c$cores-r$repl"
-        rawDocs(repl).write.mode("overwrite").parquet(p)
+        buildPipelineCorpus(spark, sfDir, repl, p)
         sys.addShutdownHook {
           import scala.reflect.io.Directory
           new Directory(new java.io.File(p)).deleteRecursively()
