@@ -73,6 +73,15 @@ object ModelQueries {
     "q50_train_negsamp" -> ((s, dir) =>
       graft.score.Trainer.trainNegSampling(cands(s, dir), epochs = 12)),
 
+    // FULL-model backprop (relembed.py:473-496 trains tf.trainable_variables
+    // — all of them): exact BPTT through the GRU + embedding-table scatter +
+    // bilinear head under the same §2.9 negative-sampling xent, same
+    // parameter-server topology as q50. Gradient equations gated by a
+    // finite-difference check over every parameter (GruTrainerSpec). One
+    // row per epoch; 6 epochs bound the bench cost of an iterative query
+    "q52_train_gru" -> ((s, dir) =>
+      graft.score.GruTrainer.train(cands(s, dir), epochs = 6)),
+
     // M13 + M14 + M15: the reference's abandoned prototype heads (3-way
     // tensor inner product, keras diag-bilinear layer, child-sum TreeRNN
     // over the sentence dependency tree) — one narrow stage, per-sentence
