@@ -115,6 +115,24 @@ object MiscQueries {
           when(col("rank") <= activeLearnN, lit("annotate")).otherwise(lit("pool")))
         .select("doc_id", "entropy_nn", "rank", "split")),
 
+    // S2 + P1 as first-class ops (round 4): stride-4 SemEval record assembly
+    // (zipWithIndex line numbers → one pivot aggregation, no global-sort
+    // window) composed with convert_raw_x (quote-wrapper strip, <e1>/<e2>
+    // tag rewrite incl. the no-whitespace corner cases, entity token-index
+    // recovery, tagless-record skip). The driver's tables carry no
+    // 4-line-stride files, so the query synthesizes the reference's own
+    // file shape deterministically (driver-local temp path — fine for the
+    // registry fixture; a production call passes a shared-storage path).
+    // Golden-gated by SemevalScanSpec; rows-only for the driver
+    "q53_semeval_scan" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("semeval-fixture")
+      val f = tmp.resolve("train.txt")
+      java.nio.file.Files.write(f,
+        graft.corpus.Semeval.fixtureLines(64).mkString("\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      graft.corpus.Semeval.converted(s, f.toString)
+    }),
+
     // J2/P15: Brown-cluster joins — deterministic cluster table, pair label.
     // The dictionary is BOUNDED at the top-K tokens by frequency (out-of-
     // dictionary tokens default to cluster -1, mirroring the reference's
