@@ -25,6 +25,12 @@ object KgPipeline {
   val stages: Seq[String] = Seq(
     "candidates", "triples", "alias_dict", "linked_triples", "entity_canon", "canonical_triples")
 
+  /** Hash-bucket count for the entity table's partition layout (the Iceberg
+    * `bucket(N, entity_id)` transform analog). 16 at test scale; a config
+    * knob — at 10¹²-doc scale this is sized to target file counts.
+    */
+  val entityBuckets = 16
+
   /** Plural/variant stem for canonicalization edges: aliases whose stem
     * matches collapse into one entity (e.g. "tables" ↔ "table"). A stand-in
     * for the reference's trained-similarity canonicalization, fully
@@ -83,7 +89,12 @@ object KgPipeline {
           col("obj"), coalesce(col("obj_id"), lit(Linking.OovEntityId)).as("obj_id"))
     }
 
-    val canon = log.runStage("entity_canon") {
+    // the ENTITY table partitions by an entity-id hash bucket (the Iceberg
+    // `bucket(N, entity_id)` transform restated as a partition column) —
+    // point lookups and canonical-id joins prune to one bucket directory
+    // instead of scanning the table, and the hash spreads write volume
+    // evenly where raw entity_id would make one directory per entity
+    val canon = log.runStage("entity_canon", partitionBy = Seq("entity_bucket")) {
       // edges: entity ↔ entity of its stemmed alias (when both exist), plus
       // self-loops so every entity appears in the CC vertex set
       val d = aliasDict.select(col("alias"), col("entity_id"))
@@ -97,7 +108,8 @@ object KgPipeline {
       // resumes from the last committed labels instead of restarting
       ConnectedComponents.run(variantEdges.union(selfEdges),
         ckptDir = Some(s"$runDir/cc"))
-        .select(col("id").as("entity_id"), col("component").as("canonical_id"))
+        .select(col("id").as("entity_id"), col("component").as("canonical_id"),
+          pmod(hash(col("id")), lit(entityBuckets)).as("entity_bucket"))
     }
 
     log.runStage("canonical_triples", partitionBy = Seq("pred")) {

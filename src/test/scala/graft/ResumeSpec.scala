@@ -117,5 +117,18 @@ class ResumeSpec extends SparkSuite {
       .agg(countDistinct("canonical_id").as("n_canon"), count(lit(1)).as("n"))
     val broken = byStem.filter($"n" > 1 && $"n_canon" =!= 1).count()
     assert(broken == 0, "plural/singular alias pairs must canonicalize together")
+
+    // north-star layout: the entity table materializes partitioned by the
+    // entity-id hash bucket (Iceberg bucket-transform analog) — the data
+    // directory must carry entity_bucket= partition dirs, and a one-bucket
+    // read must prune to that partition
+    val canonTable = graft.tableio.TableIO.read(spark, s"$runDir/entity_canon")
+    assert(canonTable.columns.contains("entity_bucket"))
+    val bucketDirs = new java.io.File(s"$runDir/entity_canon/data")
+      .listFiles().filter(_.getName.startsWith("snap-"))
+      .flatMap(_.listFiles()).map(_.getName)
+      .filter(_.startsWith("entity_bucket="))
+    assert(bucketDirs.nonEmpty, "entity table must lay out bucket partition dirs")
+    assert(canonTable.filter($"entity_bucket" === 0).count() < canonTable.count())
   }
 }
