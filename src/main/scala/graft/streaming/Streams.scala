@@ -85,4 +85,47 @@ object Streams {
     val schema = spark.read.parquet(schemaFrom).schema
     spark.readStream.schema(schema).parquet(dir)
   }
+
+  /** CONTINUOUS KG construction (round 4): docs arriving as a stream run the
+    * SAME fused extraction kernel the batch path uses — `Extract
+    * .triplesFused` is a stateless narrow transform, so it applies to a
+    * streaming Dataset unchanged, and stream == batch triple equality is a
+    * spec gate, not an aspiration (StreamingSpec). Source: any streaming
+    * (doc_id, text) frame (file source over a landing directory in
+    * production, MemoryStream in tests).
+    */
+  def triplesStream(docs: Dataset[(Long, String)]): Dataset[graft.model.Triple] =
+    graft.extract.Extract.triplesFused(docs)
+
+  /** Exactly-once TableIO sink for a micro-batched stream: each micro-batch
+    * commits to a batchId-keyed snapshot table, and a REPLAYED batch (post-
+    * crash re-delivery — Structured Streaming's contract is at-least-once
+    * delivery into foreachBatch) sees its table already committed and skips.
+    * Idempotent replay over keyed commits IS the exactly-once recipe the
+    * built-in file sink implements with its _spark_metadata log; this one
+    * rides the engine's own atomic snapshot commits instead, so streamed
+    * triples land in the same table format every batch consumer reads.
+    */
+  def tableSink(df: DataFrame, tableRoot: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val table = s"$tableRoot/batch-$batchId"
+      if (graft.tableio.TableIO.currentVersion(table).isEmpty) {
+        graft.tableio.TableIO.commit(batch, table)
+      }
+      ()
+    }
+
+  /** Read back everything the stream has committed: the union of the batch
+    * snapshot tables under `tableRoot` (partition-discovery read per batch
+    * table; batch count = micro-batch count, bounded by trigger cadence).
+    */
+  def readCommitted(spark: SparkSession, tableRoot: String): Option[DataFrame] = {
+    val root = new java.io.File(tableRoot)
+    val batches = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch-"))
+      .map(f => f.getAbsolutePath)
+      .filter(p => graft.tableio.TableIO.currentVersion(p).isDefined)
+    if (batches.isEmpty) None
+    else Some(batches.map(graft.tableio.TableIO.read(spark, _)).reduce(_ unionByName _))
+  }
 }

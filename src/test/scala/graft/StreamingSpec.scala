@@ -57,6 +57,48 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming extraction == batch extraction; restart appends exactly once") {
+    import graft.extract.Extract
+    // landing directory with one docs file; the stream extracts triples from
+    // whatever arrives and commits each micro-batch through TableIO
+    val docsDir = Files.createTempDirectory("graft-docs-stream")
+    Files.copy(Paths.get(s"$sfDir/documents.parquet"),
+      docsDir.resolve("part-0.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    def stream = spark.readStream.schema(schema).parquet(docsDir.toString)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+    val out = Files.createTempDirectory("graft-triples-stream").toString
+
+    val q1 = Streams.tableSink(Streams.triplesStream(stream).toDF(), s"$out/triples")
+      .option("checkpointLocation", s"$out/ckpt").start()
+    try q1.processAllAvailable() finally q1.stop()
+
+    def committedKeys = Streams.readCommitted(spark, s"$out/triples").get
+      .select("doc_id", "span_idx", "subj", "pred", "obj")
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val batchTriples = Extract.triplesFused(
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("text")).as[(Long, String)]).toDF()
+      .select("doc_id", "span_idx", "subj", "pred", "obj")
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(committedKeys == batchTriples, "stream must equal batch extraction")
+
+    // restart with the SAME checkpoint after a second file lands: processed
+    // files are not re-extracted (no duplicate commits — the committed
+    // batch-0 snapshot version must not move), the new file lands exactly once
+    val v0 = graft.tableio.TableIO.currentVersion(s"$out/triples/batch-0")
+    Files.copy(Paths.get(s"$sfDir/documents.parquet"),
+      docsDir.resolve("part-1.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val q2 = Streams.tableSink(Streams.triplesStream(stream).toDF(), s"$out/triples")
+      .option("checkpointLocation", s"$out/ckpt").start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(graft.tableio.TableIO.currentVersion(s"$out/triples/batch-0") == v0,
+      "restart must not recommit already-committed batches")
+    val total = Streams.readCommitted(spark, s"$out/triples").get.count()
+    assert(total == 2L * batchTriples.size,
+      s"second file must land exactly once: $total vs ${2L * batchTriples.size}")
+  }
+
   test("stateful sessionization accumulates per-user state across batches") {
     val stream = Streams.eventsStream(spark, streamDir, s"$sfDir/events.parquet")
       .as[Streams.Event]
