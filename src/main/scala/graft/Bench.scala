@@ -419,9 +419,14 @@ object Bench {
 
       // ---- phase 3: fused 8→32 — headline p32 + saturated-socket bound ----
       // 8|32 pins necessarily overlap (8+32>32) but never run concurrently.
+      // This phase YIELDS under steal overrun (stop once less than ~950 s
+      // remains) — the pipeline pair behind it is the north rule's named
+      // job and must get its rounds; a steal-stretched 8v32 once trimmed it
+      // to a single scored round. Calm epochs fit all rounds long before
+      // the yield point.
       if (remaining > 250) {
         fused832 = Some(runPair(8, 0, 32, 0, repl, 5, overlapWarmup = false,
-          stopEarly = () => remaining < 60))
+          stopEarly = () => remaining < 950))
         System.err.println(f"[bench] fused 8v32 done at $elapsed%.0f s")
       } else skipped += "fused_8_32"
 
