@@ -23,7 +23,7 @@ import org.apache.spark.sql.SparkSession
   * phases run in decreasing order of evidence value, the pipeline pair runs
   * fewer rounds over a PARENT-built corpus snapshot (a pinned 1-core level
   * otherwise spends minutes of serial untimed setup), a wall-clock deadline
-  * (SPARK_GRAFT_BENCH_DEADLINE_SEC, default 1650 s) drops remaining rounds /
+  * (SPARK_GRAFT_BENCH_DEADLINE_SEC, default 2100 s) drops remaining rounds /
   * phases instead of overrunning, and a shutdown hook emits the JSON from
   * whatever has completed if the process is killed anyway. A parseable JSON
   * with wider error bars beats a perfect protocol that never reports.
@@ -80,7 +80,7 @@ object Bench {
     * untimed; the timed reps still strictly alternate).
     */
   private final class Level(cores: Int, repl: Int, pinFrom: Int, job: String,
-                            corpus: Option[String] = None) {
+                            corpus: Seq[String] = Nil) {
     private val javaBin = System.getProperty("java.home") + "/bin/java"
     private val cp = System.getProperty("java.class.path")
     // pass through the module opens Spark-on-JDK17 needs
@@ -106,7 +106,7 @@ object Bench {
       else Seq.empty
     private val cmd = pin ++ Seq(javaBin) ++ opens ++ jvm ++
       Seq("-cp", cp, "graft.tools.BenchLevel", cores.toString, repl.toString,
-        "serve", job) ++ corpus.toSeq
+        "serve", job) ++ corpus
     private val pb = new ProcessBuilder(cmd: _*)
     pb.redirectError(ProcessBuilder.Redirect.INHERIT)
     private val p = pb.start()
@@ -181,7 +181,7 @@ object Bench {
                       job: String = "fused",
                       windows: Int = 1,
                       overlapWarmup: Boolean = true,
-                      corpus: Option[String] = None,
+                      corpus: Seq[String] = Nil,
                       stopEarly: () => Boolean = () => false): PairResult = {
     val a = new Level(small, repl, smallPin, job, corpus)
     // overlapping pins (8|32 on a 32-core box) must warm up serially;
@@ -265,28 +265,36 @@ object Bench {
     val pipeReps2 = sys.env.getOrElse("SPARK_GRAFT_BENCH_PIPE_REPS2", "2").toInt
     // wall-clock deadline (seconds): past it, remaining rounds/phases are
     // dropped and the JSON reports what completed (round 3 died at the
-    // driver's timeout with parsed:null — never again). 1900 s sits well
-    // inside the driver's observed budget (the round-3 run was killed only
-    // after ~55 min) while still bounding worst-case steal epochs.
-    val deadline = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "1900").toDouble
+    // driver's timeout with parsed:null — never again). 2100 s + JVM/sbt
+    // startup is ~36 min, ~20 min inside the driver's observed budget (the
+    // round-3 run was killed only after ~55 min); the extra headroom over
+    // round 4's first 1900 s buys the pipeline pair 1-2 scored rounds in
+    // heavy-steal epochs (one stress run left it a single round at 1900).
+    val deadline = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "2100").toDouble
     def remaining: Double = deadline - elapsed
 
-    // parent-built pipeline corpus snapshot (32-core build, ~45 s, vs
-    // minutes inside a 1-core pinned level); lazily built before the first
-    // pipeline pair, removed on exit
-    var pipeCorpus: Option[String] = None
-    def ensurePipeCorpus(): String = pipeCorpus.getOrElse {
-      val p = s"/tmp/graft-pipe-corpus-shared-r$pipeRepl"
-      val s = session(cpus)
-      graft.tools.BenchLevel.buildPipelineCorpus(s, sfDir, pipeRepl, p)
-      s.stop()
-      sys.addShutdownHook {
-        import scala.reflect.io.Directory
-        new Directory(new java.io.File(p)).deleteRecursively()
+    // parent-built pipeline corpus snapshots (32-core build, ~60 s for the
+    // full + quarter pair, vs minutes inside a 1-core pinned level); lazily
+    // built before the first pipeline pair, removed on exit. The quarter
+    // snapshot exists only so each level's in-JVM JIT warmup costs a
+    // quarter of a full pass (the paired warmup ROUND covers full scale).
+    var pipeCorpus: Seq[String] = Nil
+    def ensurePipeCorpus(): Seq[String] = {
+      if (pipeCorpus.isEmpty) {
+        val p = s"/tmp/graft-pipe-corpus-shared-r$pipeRepl"
+        val q = s"/tmp/graft-pipe-corpus-shared-r$pipeRepl-quarter"
+        val s = session(cpus)
+        graft.tools.BenchLevel.buildPipelineCorpus(s, sfDir, pipeRepl, p)
+        graft.tools.BenchLevel.buildPipelineCorpus(s, sfDir, math.max(pipeRepl / 4, 1), q)
+        s.stop()
+        sys.addShutdownHook {
+          import scala.reflect.io.Directory
+          Seq(p, q).foreach(d => new Directory(new java.io.File(d)).deleteRecursively())
+        }
+        pipeCorpus = Seq(p, q)
+        System.err.println(f"[bench] pipeline corpus built at $elapsed%.0f s")
       }
-      pipeCorpus = Some(p)
-      System.err.println(f"[bench] pipeline corpus built at $elapsed%.0f s")
-      p
+      pipeCorpus
     }
 
     val scalingOnly = sys.env.contains("SPARK_GRAFT_BENCH_ONLY_SCALING")
@@ -366,7 +374,7 @@ object Bench {
     // dev harness: measure ONLY the pipeline pairs, print their JSON, exit
     if (sys.env.contains("SPARK_GRAFT_BENCH_PIPE_ONLY")) {
       Runtime.getRuntime.removeShutdownHook(hook)
-      val c = Some(ensurePipeCorpus())
+      val c = ensurePipeCorpus()
       val p14 = runPair(1, 0, 4, 4, pipeRepl, pipeReps, job = "pipeline", windows = 2, corpus = c)
       val p28 = runPair(2, 0, 8, 8, pipeRepl, pipeReps2, job = "pipeline", corpus = c)
       println(f"""{"scaling_pipeline":{"pair":"1->4","docs":${p14.small.docs},""" +
@@ -447,7 +455,7 @@ object Bench {
       // coordination overhead; 2→8 is the saturated-socket bound alongside.
       // Full gradient table + serial-floor audit: BENCH.md.
       if (remaining > 500) {
-        val c = Some(ensurePipeCorpus())
+        val c = ensurePipeCorpus()
         pipe14 = Some(runPair(1, 0, 4, 4, pipeRepl, pipeReps, job = "pipeline",
           windows = 2, corpus = c, stopEarly = () => remaining < 180))
         System.err.println(f"[bench] pipeline 1v4 done at $elapsed%.0f s")
@@ -456,7 +464,7 @@ object Bench {
       // ---- phase 5: pipeline 2→8, the saturated-socket bound ----
       if (remaining > 420) {
         pipe28 = Some(runPair(2, 0, 8, 8, pipeRepl, pipeReps2, job = "pipeline",
-          corpus = Some(ensurePipeCorpus()), stopEarly = () => remaining < 120))
+          corpus = ensurePipeCorpus(), stopEarly = () => remaining < 120))
         System.err.println(f"[bench] pipeline 2v8 done at $elapsed%.0f s")
       } else skipped += "pipeline_2_8"
     } finally {

@@ -92,8 +92,10 @@ object BenchLevel {
     val mode = if (args.length > 2) args(2) else "3"
     val job = if (args.length > 3) args(3) else "fused"
     // pre-built pipeline corpus snapshot from the parent (owned and cleaned
-    // up by the parent; this level only reads it)
+    // up by the parent; this level only reads it), plus an optional
+    // quarter-scale snapshot used ONLY for the in-JVM JIT warmup
     val sharedCorpus = if (args.length > 4) Some(args(4)) else None
+    val sharedQuarter = if (args.length > 5) Some(args(5)) else None
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
@@ -173,11 +175,19 @@ object BenchLevel {
     // (and faulting file-cache pages), which skews the small-N vs large-N
     // comparison: small-N reps are long enough to warm up in-run, big-N
     // reps are not. For the pipeline job `docs(r)` always reads the fixed
-    // full-scale corpus snapshot, so a "quarter-scale" pass would just be a
-    // second full-scale one (ADVICE round 3) — the pipeline warms up with a
-    // single full pass (plus Bench's paired warmup round on top).
+    // full-scale corpus snapshot, so a quarter pass needs its OWN snapshot:
+    // when the parent passes one, the in-JVM warmup is that quarter pass
+    // (JIT/codegen warm at a quarter of the cost — a full-scale p1 pass is
+    // 110-180 s of serial pre-READY time, and Bench's paired warmup ROUND,
+    // which is dropped from scoring, already covers full-scale caches);
+    // without one, a single full pass (ADVICE round 3).
     if (job != "pipeline") { execJob(math.max(repl / 4, 1)); fence() }
-    execJob(repl); fence()
+    else sharedQuarter.foreach { q =>
+      KgPipeline.canonicalTriplesInMemory(
+        spark.read.parquet(q).as[(Long, String)]).count()
+      fence()
+    }
+    if (job != "pipeline" || sharedQuarter.isEmpty) { execJob(repl); fence() }
     val nDocs = docs(repl).count()
 
     def rep(): (Long, Double) = {
