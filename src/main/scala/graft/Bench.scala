@@ -385,6 +385,9 @@ object Bench {
       return
     }
 
+    // flipped to false only when the phase sequence runs to its end; an
+    // exception path leaves it true so the emitted JSON says partial
+    var crashed = true
     try {
       // ---- phase 1: registered queries at the requested parallelism ----
       // FIRST (verdict item 1): this is the per-query evidence the judge
@@ -395,8 +398,13 @@ object Bench {
         // warmup: JIT + codegen + parquet footer caches
         s1.read.parquet(s"$sfDir/lineitem.parquet").count()
         // a crashed query must NOT masquerade as a fast one: its seconds are
-        // negated and its name lands in "errors" (ADVICE.md round 1)
-        qResults = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        // negated and its name lands in "errors" (ADVICE.md round 1).
+        // Results accumulate PER QUERY (not assigned once at the end) so the
+        // shutdown-hook emitter reports every finished query if the driver
+        // kills the process mid-phase — losing the completed measurements
+        // was exactly round 3's failure mode.
+        val acc = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Boolean)]
+        SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
           val q0 = System.nanoTime()
           val ok =
             try { fn(s1, sfDir).count(); true }
@@ -409,12 +417,13 @@ object Bench {
           // queries instead of as a surprise full GC inside one
           s1.sharedState.cacheManager.clearCache()
           System.gc()
-          (name, if (ok) sec else -sec, ok)
+          acc += ((name, if (ok) sec else -sec, ok))
+          qResults = acc.toSeq
         }
         s1.stop()
         System.err.println(f"[bench] queries phase done at $elapsed%.0f s")
       }
-      if (queriesOnly) return
+      if (queriesOnly) { crashed = false; return }
 
       // ---- phase 2: fused-kernel 4→16, the primary N vs 4N pair ----
       // Executor HOSTS in a cluster do not share one memory bus/LLC the way
@@ -430,9 +439,13 @@ object Bench {
       // This phase YIELDS under steal overrun (stop once less than ~950 s
       // remains) — the pipeline pair behind it is the north rule's named
       // job and must get its rounds; a steal-stretched 8v32 once trimmed it
-      // to a single scored round. Calm epochs fit all rounds long before
+      // to a single scored round. The ENTRY gate sits above the yield point:
+      // entering the remaining∈(250,950) band would spin up both JVMs, run
+      // only the discarded-by-protocol warmup round, publish a warmup-only
+      // headline, and burn the budget that would otherwise let pipeline_1_4
+      // run at all (review finding). Calm epochs fit all rounds long before
       // the yield point.
-      if (remaining > 250) {
+      if (remaining > 1000) {
         fused832 = Some(runPair(8, 0, 32, 0, repl, 5, overlapWarmup = false,
           stopEarly = () => remaining < 950))
         System.err.println(f"[bench] fused 8v32 done at $elapsed%.0f s")
@@ -467,8 +480,12 @@ object Bench {
           corpus = ensurePipeCorpus(), stopEarly = () => remaining < 120))
         System.err.println(f"[bench] pipeline 2v8 done at $elapsed%.0f s")
       } else skipped += "pipeline_2_8"
+      crashed = false
     } finally {
-      emit(partial = false)
+      // a phase that THREW must not be labeled a complete run: partial=true
+      // distinguishes "crashed mid-flight, fields below are whatever
+      // finished" from "ran to the end" (review finding)
+      emit(partial = crashed)
       try Runtime.getRuntime.removeShutdownHook(hook) catch { case _: Throwable => }
     }
   }

@@ -97,7 +97,12 @@ object Media {
       else if (Decoders.isImageIo(cell.payload)) Decoders.imageIoFeature(cell)
       else decodeStub(cell)
     } catch {
-      case _: IllegalArgumentException | _: java.io.IOException => decodeStub(cell)
+      // NonFatal, not just IAE/IOException: the JDK ImageIO readers throw
+      // unchecked exceptions (ArrayIndexOutOfBounds, NegativeArraySize,
+      // CMMException) on corrupt payloads whose magic bytes still matched —
+      // one bad cell must degrade to the stub, not kill the task (review
+      // finding)
+      case scala.util.control.NonFatal(_) => decodeStub(cell)
     }
 
   /** The single-cell decode `decodeFeatures` maps, exposed for callers that

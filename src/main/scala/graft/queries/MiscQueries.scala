@@ -125,7 +125,11 @@ object MiscQueries {
     // registry fixture; a production call passes a shared-storage path).
     // Golden-gated by SemevalScanSpec; rows-only for the driver
     "q53_semeval_scan" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("semeval-fixture")
+      // ONE deterministic path, rewritten in place (not a fresh temp dir per
+      // invocation — repeated bench/verify runs would leak /tmp entries)
+      val tmp = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft-semeval-fixture")
+      java.nio.file.Files.createDirectories(tmp)
       val f = tmp.resolve("train.txt")
       java.nio.file.Files.write(f,
         graft.corpus.Semeval.fixtureLines(64).mkString("\n")

@@ -274,14 +274,12 @@ object GruTrainer {
       .select("doc_id", "span_idx", "x", "y", "path", "source", "label")
       .as[LabeledRow]
       .map { r =>
-        val key = s"${r.doc_id}|${r.span_idx}|${r.label}|${r.x}|${r.y}|${r.source}|" +
-          r.path.mkString(";")
         val steps = r.path.map { st =>
           Array(math.floorMod(st.word.hashCode, v),
             math.floorMod(("d:" + st.dep).hashCode, v),
             math.floorMod(("p:" + st.pos).hashCode, v))
         }
-        (key, math.floorMod(r.x.hashCode, v), math.floorMod(r.y.hashCode, v),
+        (r.layoutKey, math.floorMod(r.x.hashCode, v), math.floorMod(r.y.hashCode, v),
           steps, r.label)
       }
       .toDF("key", "xB", "yB", "steps", "label")

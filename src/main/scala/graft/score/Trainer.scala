@@ -96,9 +96,7 @@ object Trainer {
         val ww = bcW.value
         it.map { r =>
           val c = SdpCandidate(r.doc_id, r.span_idx, r.x, r.y, r.path, r.source)
-          val key = s"${r.doc_id}|${r.span_idx}|${r.label}|${r.x}|${r.y}|${r.source}|" +
-            r.path.mkString(";")
-          (key, r.label, ExampleEncoder.feature(ww, c))
+          (r.layoutKey, r.label, ExampleEncoder.feature(ww, c))
         }
       }
       .toDF("key", "label", "f")
@@ -234,4 +232,13 @@ private[score] case class CkptRow(epoch: Int, param: Array[Double],
 
 private[score] case class LabeledRow(
     doc_id: String, span_idx: Int, x: String, y: String,
-    path: Array[graft.model.PathStep], source: String, label: Int)
+    path: Array[graft.model.PathStep], source: String, label: Int) {
+
+  /** The unique per-row key BOTH trainers hash-repartition and sort on —
+    * it defines the deterministic partition layout their bit-identical
+    * reproducibility and checkpoint/resume contracts depend on, so it must
+    * never diverge between them (one shared definition, review finding).
+    */
+  def layoutKey: String =
+    s"$doc_id|$span_idx|$label|$x|$y|$source|" + path.mkString(";")
+}
