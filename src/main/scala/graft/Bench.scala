@@ -468,7 +468,13 @@ object Bench {
       // coordination overhead; 2→8 is the saturated-socket bound alongside.
       // Full gradient table + serial-floor audit: BENCH.md.
       if (remaining > 500) {
-        val c = ensurePipeCorpus()
+        // adaptive warmup: with a generous budget, levels JIT-warm on the
+        // FULL corpus (drop the quarter-snapshot arg — the exact protocol
+        // of the two calm 0.857/0.866 readings, where the short-rep p4
+        // side enters its scored rounds fully warmed); under a tight
+        // budget, the quarter warmup buys scored rounds instead
+        val c0 = ensurePipeCorpus()
+        val c = if (remaining > 900) c0.take(1) else c0
         pipe14 = Some(runPair(1, 0, 4, 4, pipeRepl, pipeReps, job = "pipeline",
           windows = 2, corpus = c, stopEarly = () => remaining < 180))
         System.err.println(f"[bench] pipeline 1v4 done at $elapsed%.0f s")
