@@ -105,4 +105,30 @@ object Semeval {
       }
       Seq(s"""${8001 + i}\t"$text"""", label, s"Comment: fixture $i", "")
     }
+
+  /** The registry fixture's fixed path — shared by the q53 query AND its
+    * DuckDB oracle SQL, so both engines read the same bytes.
+    */
+  val fixturePath: java.nio.file.Path = java.nio.file.Paths.get(
+    System.getProperty("java.io.tmpdir"), "graft-semeval-fixture", "train.txt")
+
+  /** Materializes the 64-record fixture at `fixturePath` ATOMICALLY: skip
+    * when the expected content is already in place, otherwise write to a
+    * temp file and ATOMIC_MOVE it over — two concurrent graft processes
+    * (bench + verify) must never read a half-written fixture (ADVICE
+    * round 4: the previous in-place Files.write raced).
+    */
+  def ensureFixture(): String = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val bytes = fixtureLines(64).mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if (!(Files.exists(fixturePath) && Files.size(fixturePath) == bytes.length)) {
+      Files.createDirectories(fixturePath.getParent)
+      val tmp = Files.createTempFile(fixturePath.getParent, "train", ".tmp")
+      Files.write(tmp, bytes)
+      Files.move(tmp, fixturePath,
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
+    fixturePath.toString
+  }
 }

@@ -9,13 +9,15 @@ import org.apache.spark.sql.functions._
   *
   * Decoding: RIFF/WAVE PCM16 audio and binary PPM (P6) images get REAL
   * pure-JVM decoders (`Decoders` — full chunk/header parse → samples /
-  * pixels → features + resize), and JPEG/PNG/GIF/BMP decode through
+  * pixels → features + resize), JPEG/PNG/GIF/BMP decode through
   * `javax.imageio.ImageIO` (pure JDK — round-4 fix: the earlier claim that
-  * JPEG needs a native codec was wrong), all dispatched by magic bytes.
-  * `decodeStub` remains only for VIDEO containers (MP4), whose decoders
-  * genuinely need native codec libraries this container lacks; everything
-  * Spark-side — schema, batching shape, partition behavior, span-sequence
-  * invariant — is real and tested.
+  * JPEG needs a native codec was wrong), and MP4 video gets a REAL
+  * container-metadata parse (round-5: ftyp/moov/mvhd/tkhd box walk → true
+  * duration_ms + presentation width/height) with only the per-FRAME feature
+  * stubbed — frame decode genuinely needs native codecs this container
+  * lacks. All dispatched by magic bytes; `decodeStub` remains only for
+  * opaque or corrupt payloads. Everything Spark-side — schema, batching
+  * shape, partition behavior, span-sequence invariant — is real and tested.
   */
 object Media {
 
@@ -60,7 +62,11 @@ object Media {
 
   private[multimodal] def fetchFor(kind: String, mediaRef: String): Array[Byte] =
     kind match {
-      case "audio" | "video"      => Decoders.synthWav(mediaRef)
+      case "audio"                => Decoders.synthWav(mediaRef)
+      // video refs fetch a well-formed MP4 container so the real box-walk
+      // metadata parser runs in-pipeline (round-5; frame payload stays a
+      // codec-less stub inside mdat)
+      case "video"                => Decoders.synthMp4(mediaRef)
       // image payloads rotate deterministically across the three real decode
       // paths (PPM, PNG, JPEG) so every format's parser runs in-pipeline
       case "image" => math.floorMod(mediaRef.hashCode, 3) match {
@@ -75,6 +81,7 @@ object Media {
       case _ if mediaRef.endsWith(".png") => Decoders.synthPng(mediaRef)
       case _ if mediaRef.endsWith(".jpg") || mediaRef.endsWith(".jpeg") =>
         Decoders.synthJpeg(mediaRef)
+      case _ if mediaRef.endsWith(".mp4") => Decoders.synthMp4(mediaRef)
       case _                      => opaqueBytes(mediaRef)
     }
 
@@ -95,6 +102,7 @@ object Media {
       if (Decoders.isWav(cell.payload)) Decoders.wavFeature(cell)
       else if (Decoders.isPpm(cell.payload)) Decoders.ppmFeature(cell)
       else if (Decoders.isImageIo(cell.payload)) Decoders.imageIoFeature(cell)
+      else if (Decoders.isMp4(cell.payload)) Decoders.mp4Feature(cell)
       else decodeStub(cell)
     } catch {
       // NonFatal, not just IAE/IOException: the JDK ImageIO readers throw
@@ -110,10 +118,12 @@ object Media {
     */
   def decodeFor(cell: MediaCell): MediaFeature = decode(cell)
 
-  /** STUB decoder — stands in for a NATIVE codec (MP4/video) unavailable in
-    * this container. Deterministic metadata + an 8-dim feature vector from
-    * the payload bytes. A real implementation replaces only this function;
-    * the mapPartitions batching around it is production-shaped.
+  /** STUB decoder — the fallback for OPAQUE or corrupt payloads no real
+    * parser above accepts (every shipped format — WAV, PPM, JPEG/PNG/GIF/
+    * BMP, MP4 container metadata — decodes for real). Deterministic metadata
+    * + an 8-dim feature vector from the payload bytes. A real implementation
+    * replaces only this function; the mapPartitions batching around it is
+    * production-shaped.
     */
   private[multimodal] def decodeStub(cell: MediaCell): MediaFeature = {
     val bytes = cell.payload

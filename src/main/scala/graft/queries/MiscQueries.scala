@@ -121,20 +121,19 @@ object MiscQueries {
     // tag rewrite incl. the no-whitespace corner cases, entity token-index
     // recovery, tagless-record skip). The driver's tables carry no
     // 4-line-stride files, so the query synthesizes the reference's own
-    // file shape deterministically (driver-local temp path — fine for the
-    // registry fixture; a production call passes a shared-storage path).
-    // Golden-gated by SemevalScanSpec; rows-only for the driver
+    // file shape deterministically (atomic write, skipped when already in
+    // place). Golden-gated by SemevalScanSpec AND value-exact vs a DuckDB
+    // read_csv oracle over the same fixture bytes (round-5)
     "q53_semeval_scan" -> ((s, dir) => {
-      // ONE deterministic path, rewritten in place (not a fresh temp dir per
-      // invocation — repeated bench/verify runs would leak /tmp entries)
-      val tmp = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft-semeval-fixture")
-      java.nio.file.Files.createDirectories(tmp)
-      val f = tmp.resolve("train.txt")
-      java.nio.file.Files.write(f,
-        graft.corpus.Semeval.fixtureLines(64).mkString("\n")
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      graft.corpus.Semeval.converted(s, f.toString)
+      // the fixture is DRIVER-LOCAL: executors read it via sc.textFile,
+      // which only works when they share the driver's filesystem — fail
+      // loudly on a real cluster instead of half the tasks erroring
+      // (round-4 verdict item 7; a production call passes Semeval.converted
+      // a shared-storage path instead)
+      require(s.sparkContext.master.startsWith("local"),
+        "q53's synthesized fixture lives on driver-local storage; " +
+          "on a cluster call Semeval.converted with a shared-storage path")
+      graft.corpus.Semeval.converted(s, graft.corpus.Semeval.ensureFixture())
     }),
 
     // J2/P15: Brown-cluster joins — deterministic cluster table, pair label.
@@ -358,6 +357,57 @@ object MiscQueries {
         |SELECT doc_id, 'rev' AS dir, list_reverse(toks)[1] AS head, len(toks)::BIGINT AS n
         |FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks FROM documents)""".stripMargin
         .replace("\n", " "),
+    // q53: S2+P1 value-exact (round-5, graduating from rows-only). DuckDB
+    // reads the SAME fixture bytes (read_csv with delim='' = raw lines,
+    // blank lines preserved as NULL, insertion order preserved →
+    // row_number() is the line number), re-assembles the stride-4 records
+    // with a conditional aggregation, and mirrors convert_raw_x exactly:
+    // the same 8-replace chain IN THE SAME ORDER, \s+ tokenization with
+    // empty-token filter, prefix-strip of e1>/e2> tokens, LAST-occurrence
+    // entity index (the Scala loop overwrites), tagless-record skip.
+    "q53_semeval_scan" -> {
+      val p = graft.corpus.Semeval.fixturePath.toString
+      s"""WITH lines AS (
+         |  SELECT row_number() OVER () - 1 AS idx, coalesce(line, '') AS line
+         |  FROM read_csv('$p', header=false, delim='', quote='', escape='',
+         |                columns={'line':'VARCHAR'})),
+         |recs AS (
+         |  SELECT (idx // 4)::BIGINT AS record_id,
+         |    max(CASE WHEN idx % 4 = 0 THEN line END) AS raw,
+         |    max(CASE WHEN idx % 4 = 1 THEN line END) AS label,
+         |    max(CASE WHEN idx % 4 = 2 THEN line END) AS comment
+         |  FROM lines GROUP BY 1),
+         |conv AS (
+         |  SELECT record_id, label, comment,
+         |    replace(replace(replace(replace(replace(replace(replace(replace(
+         |      trim(raw)[strpos(trim(raw),'"')+1 : len(trim(raw))-strpos(reverse(trim(raw)),'"')],
+         |      ' <e1>',' e1>'), '</e1> ',' '),
+         |      ' <e2>',' e2>'), '</e2> ',' '),
+         |      '<e1>',' e1>'), '</e1>',' '),
+         |      '<e2>',' e2>'), '</e2>',' ') AS s
+         |  FROM recs
+         |  WHERE strpos(trim(raw),'"') > 0
+         |    AND len(trim(raw)) - strpos(reverse(trim(raw)),'"') + 1 > strpos(trim(raw),'"')),
+         |flat AS (
+         |  SELECT record_id, label, comment, i, tok,
+         |    CASE WHEN tok LIKE 'e1>%' OR tok LIKE 'e2>%' THEN tok[4:] ELSE tok END AS clean
+         |  FROM (SELECT record_id, label, comment, unnest(tk) AS tok,
+         |          generate_subscripts(tk, 1) AS i
+         |        FROM (SELECT record_id, label, comment,
+         |                list_filter(regexp_split_to_array(s, '\\s+'), t -> len(t) > 0) AS tk
+         |              FROM conv))),
+         |agg AS (
+         |  SELECT record_id, label, comment,
+         |    string_agg(clean, ' ' ORDER BY i) AS sent,
+         |    (max(CASE WHEN tok LIKE 'e1>%' THEN i END) - 1)::INT AS e1_idx,
+         |    (max(CASE WHEN tok LIKE 'e2>%' THEN i END) - 1)::INT AS e2_idx
+         |  FROM flat GROUP BY record_id, label, comment)
+         |SELECT record_id, label, comment, sent, e1_idx, e2_idx,
+         |  string_split(sent, ' ')[e1_idx + 1] AS e1,
+         |  string_split(sent, ' ')[e2_idx + 1] AS e2
+         |FROM agg WHERE e1_idx IS NOT NULL AND e2_idx IS NOT NULL""".stripMargin
+        .replace("\n", " ")
+    },
     // q47/q48: the SQL mirrors the Spark expression TREES node for node
     // (same associativity, same literals) — +,−,×,÷,√,greatest are IEEE
     // correctly rounded so those match bit-exactly; ln/exp are 1-ulp libm

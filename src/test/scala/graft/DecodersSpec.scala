@@ -143,6 +143,75 @@ class DecodersSpec extends AnyFunSuite {
     }
   }
 
+  test("MP4: hand-built box tree parses to real duration and dimensions") {
+    // hand-assemble (not via synthMp4, so parser bugs cannot self-verify):
+    // ftyp + moov(mvhd v0: timescale 1000, duration 2500 → 2500 ms;
+    // trak(tkhd v0: 320×240 as 16.16 fixed point))
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.allocate(8 + payload.length).order(ByteOrder.BIG_ENDIAN)
+      b.putInt(8 + payload.length); b.put(typ.getBytes); b.put(payload)
+      b.array()
+    }
+    val mvhd = {
+      val b = ByteBuffer.allocate(100).order(ByteOrder.BIG_ENDIAN)
+      b.putInt(0)            // version/flags
+      b.putInt(0); b.putInt(0)
+      b.putInt(1000)         // timescale
+      b.putInt(2500)         // duration
+      b.array()              // rest zeroed (rate/volume/matrix unused by the walk)
+    }
+    val tkhd = {
+      val b = ByteBuffer.allocate(84).order(ByteOrder.BIG_ENDIAN)
+      b.putInt(0)                         // version/flags
+      b.putInt(0); b.putInt(0)            // creation, modification
+      b.putInt(1); b.putInt(0); b.putInt(0) // track_id, reserved, duration
+      b.position(4 + 20 + 52)             // skip reserved/layer/volume/matrix
+      b.putInt(320 << 16); b.putInt(240 << 16)
+      b.array()
+    }
+    val ftyp = box("ftyp", "isom".getBytes ++ Array[Byte](0, 0, 2, 0) ++ "isom".getBytes)
+    val bytes = ftyp ++ box("moov", box("mvhd", mvhd) ++ box("trak", box("tkhd", tkhd)))
+    assert(Decoders.isMp4(bytes) && !Decoders.isWav(bytes))
+    val (durMs, w, h) = Decoders.decodeMp4Meta(bytes)
+    assert(durMs == 2500 && w == 320 && h == 240)
+    val feat = Decoders.mp4Feature(Media.MediaCell("d", 0, "video", "r.mp4", bytes))
+    assert(feat.duration_ms == 2500 && feat.width == 320 && feat.height == 240)
+    assert(feat.feature.length == 8)
+  }
+
+  test("MP4: dispatch routes video payloads to the box walk, not the stub") {
+    val mp4 = Decoders.synthMp4("m://clip.mp4")
+    assert(Decoders.isMp4(mp4) && !Decoders.isImageIo(mp4))
+    val f = Media.decodeFor(Media.MediaCell("d", 0, "video", "m://clip.mp4", mp4))
+    val (durMs, w, h) = Decoders.decodeMp4Meta(mp4)
+    assert(f.duration_ms == durMs && f.width == w && f.height == h)
+    assert(durMs >= 1000 && w >= 160 && h >= 120)
+    // a truncated moov must degrade to the stub, not kill the task
+    val corrupt = mp4.take(30).toArray
+    val fc = Media.decodeFor(Media.MediaCell("d", 0, "video", "m://bad.mp4", corrupt))
+    assert(fc.n_bytes == corrupt.length && fc.feature.length == 8)
+  }
+
+  test("WAV: multiple data chunks — the FIRST one is the payload") {
+    // canonical RIFF reading takes the first data chunk; a second one (e.g.
+    // appended junk) must not silently replace the samples (ADVICE round 4)
+    val first = Array[Short](500, -500, 500, -500)
+    val second = Array[Short](9, 9)
+    val buf = ByteBuffer.allocate(44 + 2 * first.length + 8 + 2 * second.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes); buf.putInt(36 + 2 * first.length + 8 + 2 * second.length)
+    buf.put("WAVE".getBytes)
+    buf.put("fmt ".getBytes); buf.putInt(16)
+    buf.putShort(1); buf.putShort(1); buf.putInt(8000); buf.putInt(16000)
+    buf.putShort(2); buf.putShort(16)
+    buf.put("data".getBytes); buf.putInt(2 * first.length)
+    first.foreach(buf.putShort)
+    buf.put("data".getBytes); buf.putInt(2 * second.length)
+    second.foreach(buf.putShort)
+    val (rate, _, s) = Decoders.decodeWav(buf.array())
+    assert(rate == 8000 && s.toSeq == first.toSeq)
+  }
+
   test("synth payloads are well-formed and route to the real decoders") {
     val wav = Decoders.synthWav("m://abc.wav")
     assert(Decoders.isWav(wav) && !Decoders.isPpm(wav))

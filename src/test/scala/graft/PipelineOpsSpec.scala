@@ -112,11 +112,13 @@ class PipelineOpsSpec extends SparkSuite {
     assert(feats.count() == cells.count(), "decode must be 1:1")
     val f = feats.collect()
     assert(f.forall(_.feature.length == 8))
-    // real decoders (round 3): images parse to PPM dimensions, audio/video
-    // parse to a PCM duration — format-aware metadata, not stub values
+    // real decoders: images parse to pixel dimensions, audio to a PCM
+    // duration, video to MP4 container metadata (round-5: true mvhd
+    // duration + tkhd presentation size) — format-aware, not stub values
     assert(f.filter(_.kind == "image").forall(x => x.width >= 8 && x.height >= 8))
     assert(f.forall(x => (x.duration_ms > 0) == (x.kind == "audio" || x.kind == "video")))
-    assert(f.filter(x => x.kind == "audio" || x.kind == "video").forall(_.width == 0))
+    assert(f.filter(_.kind == "audio").forall(_.width == 0))
+    assert(f.filter(_.kind == "video").forall(x => x.width >= 160 && x.height >= 120))
     // determinism across batch sizes and partitionings
     val feats2 = Media.decodeFeatures(cells.repartition(5), batchSize = 64)
       .collect().map(x => (x.doc_id, x.span_idx, x.width, x.height, x.feature.toSeq)).toSet
