@@ -3,7 +3,6 @@ package graft.canon
 import graft.tableio.TableIO
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Iterative connected-components canonicalizer (north rule:
   * "connected-components-style iterative DataFrame self-join with checkpointed
@@ -20,24 +19,27 @@ import org.apache.spark.storage.StorageLevel
   * rounds (CanonSpec) instead of silently exhausting `maxIter` at
   * Θ(diameter), which plain hash-min would.
   *
-  * Round cost (round-3 rework): ONE action per round, and the convergence
-  * signal rides ON that action — the round's labels (plus a per-row `__chg`
-  * bit) are persisted and materialized by a single `sum(__chg)` aggregation
-  * over the cache being built. Round 2 used `Dataset.observe` for this;
-  * measured here, `Observation.get` stalls ~2 s per round waiting on the
-  * listener bus — a pure serial cost per iteration — while the direct
-  * aggregate returns with the action itself.
+  * Round cost (round-5 rework): each round's labels are materialized by an
+  * eager `localCheckpoint` (one labels-sized job) and the convergence signal
+  * is a `sum(__chg)` over the resulting LEAF (a near-free second job over
+  * the cached partitions). Round 2 used `Dataset.observe` for this
+  * (`Observation.get` stalled ~2 s per round on the listener bus); round 3
+  * rode the aggregation on a persist — ONE action, but the round plan then
+  * referenced the PREVIOUS round's plan twice (hash-min push + pointer
+  * shortcut), so the un-truncated logical tree DOUBLED per round and driver
+  * analysis went exponential between the every-5-rounds truncations
+  * (probe-measured at p4: inter-job gaps 0.1→3.8 s and job times 0.3→6 s
+  * across rounds 1-5 — a ~14 s fixed serial term per pipeline rep that the
+  * N→4N scaling pair mis-attributed to the engine).
   *
-  * Lineage: each round's logical plan would otherwise nest every previous
-  * round (planning time then grows linearly with iteration, and the FIRST
-  * rounds carry the whole upstream pipeline tree). The edge table is
-  * lineage-truncated once at entry (`localCheckpoint`), and labels are
-  * truncated every `checkpointEvery` rounds — durably through TableIO when
-  * `ckptDir` is given (survives process loss; a rerun with the same `ckptDir`
-  * resumes from the last committed labels — hash-min is monotone and
-  * idempotent, so resuming from any intermediate labeling is exact), else via
-  * `localCheckpoint` (unit-test / demo mode, not fault-tolerant — production
-  * callers always pass a directory).
+  * Lineage: the edge table is truncated once at entry (`localCheckpoint`);
+  * labels are truncated EVERY round by the eager checkpoint above, so every
+  * round analyzes a constant-size three-leaf plan. Durability is a separate
+  * cadence: every `checkpointEvery` rounds the labels also commit through
+  * TableIO when `ckptDir` is given (survives process loss; a rerun with the
+  * same `ckptDir` resumes from the last committed labels — hash-min is
+  * monotone and idempotent, so resuming from any intermediate labeling is
+  * exact). Production callers always pass a directory.
   */
 object ConnectedComponents {
 
@@ -70,7 +72,6 @@ object ConnectedComponents {
           .withColumn("component", col("id"))
     }
 
-    var pinned: Option[DataFrame] = None // persisted round frame backing `labels`
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -92,35 +93,28 @@ object ConnectedComponents {
       // O(log diameter) (CanonSpec pins a 3 000-chain inside 24 rounds).
       // Cost: one extra labels-sized join per round, not edge-sized.
       val parent = labels.select(col("id").as("__pid"), col("component").as("__pcomp"))
+      // eager checkpoint = the round's materializing action AND its lineage
+      // truncation (see object doc: this round is referenced TWICE by the
+      // next one, so an un-truncated tree doubles per round)
       val next = stepped
         .join(parent, col("m") === col("__pid"), "left")
         .select(stepped("id"),
           least(col("m"), coalesce(col("__pcomp"), col("m"))).as("component"),
           (least(col("m"), coalesce(col("__pcomp"), col("m"))) < stepped("component"))
             .cast("long").as("__chg"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // the round's single action: materializes the persist AND returns the
-      // number of labels that changed
+        .localCheckpoint(eager = true)
+      // convergence signal: a near-free scan of the checkpointed partitions
       val changed = next.agg(coalesce(sum("__chg"), lit(0L))).first().getLong(0)
 
       val durable = table.isDefined && (iter + 1) % checkpointEvery == 0
-      val (materialized, nowPinned) =
+      labels =
         if (durable) {
-          // scan of the just-built cache; the committed snapshot is durable
-          // AND lineage-free
+          // scan of the just-checkpointed leaf; the committed snapshot is
+          // durable (resume point) — the leaf itself stays this round's
+          // in-memory working set
           TableIO.commit(next.select("id", "component"), table.get)
-          next.unpersist(blocking = false)
-          (TableIO.read(edges.sparkSession, table.get), None)
-        } else if ((iter + 1) % checkpointEvery == 0) {
-          val lc = next.select("id", "component").localCheckpoint(eager = true)
-          next.unpersist(blocking = false)
-          (lc, None)
-        } else {
-          (next.select("id", "component"), Some(next))
-        }
-      pinned.foreach(_.unpersist(blocking = false))
-      pinned = nowPinned
-      labels = materialized
+          TableIO.read(edges.sparkSession, table.get)
+        } else next.select("id", "component")
       converged = changed == 0L
       iter += 1
     }

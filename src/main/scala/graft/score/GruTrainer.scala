@@ -251,13 +251,17 @@ object GruTrainer {
   }
 
   /** Train the FULL model for `epochs` over candidates + §2.9 negatives;
-    * same epoch-metrics schema, determinism contract, and TableIO
-    * checkpoint/resume as `Trainer.trainNegSampling`.
+    * same epoch-metrics schema, determinism contract, TableIO
+    * checkpoint/resume, and `stepsPerEpoch` micro-batch semantics as
+    * `Trainer.trainNegSampling` (B deterministic stride micro-batches per
+    * epoch, Adam timestep per STEP; B = 1 — the default — reproduces the
+    * one-step-per-epoch trajectory bit-for-bit).
     */
   def train(cands: Dataset[SdpCandidate], epochs: Int = 8,
             negPer: Int = 2, seed: Long = 42L, lr: Double = 0.02,
             ckptTable: Option[String] = None, ckptEvery: Int = 4,
-            parts: Int = 32): DataFrame = {
+            parts: Int = 32, stepsPerEpoch: Int = 1): DataFrame = {
+    require(stepsPerEpoch >= 1, s"stepsPerEpoch must be >= 1, got $stepsPerEpoch")
     val spark = cands.sparkSession
     import spark.implicits._
 
@@ -309,49 +313,61 @@ object GruTrainer {
 
     val out = Vector.newBuilder[Trainer.Epoch]
     for (ep <- startEp until epochs) {
-      val bcP = spark.sparkContext.broadcast(p)
-      val partials = examples.as[(Int, Int, Array[Array[Int]], Int)]
-        .rdd.mapPartitionsWithIndex { (pid, it) =>
-          val d = bcDims.value
-          val pp = bcP.value
-          val g = new Array[Double](d.size)
-          var loss = 0.0; var correct = 0L; var n = 0L
-          var posSum = 0.0; var negSum = 0.0; var nPos = 0L
-          it.foreach { case (xB, yB, steps, label) =>
-            val (l, logit) = forwardBackward(d, pp, GruExample(xB, yB, steps, label), g)
-            loss += l
-            if ((logit >= 0.0) == (label == 1)) correct += 1
-            if (label == 1) { posSum += logit; nPos += 1 } else negSum += logit
-            n += 1
+      var epLoss = 0.0; var epCorrect = 0L; var epN = 0L
+      var epPos = 0.0; var epNeg = 0.0; var epNPos = 0L
+      for (mb <- 0 until stepsPerEpoch) {
+        val bcP = spark.sparkContext.broadcast(p)
+        val partials = examples.as[(Int, Int, Array[Array[Int]], Int)]
+          .rdd.mapPartitionsWithIndex { (pid, it) =>
+            val d = bcDims.value
+            val pp = bcP.value
+            val g = new Array[Double](d.size)
+            var loss = 0.0; var correct = 0L; var n = 0L
+            var posSum = 0.0; var negSum = 0.0; var nPos = 0L
+            var idx = 0
+            it.foreach { case (xB, yB, steps, label) =>
+              if (idx % stepsPerEpoch == mb) {
+                val (l, logit) = forwardBackward(d, pp, GruExample(xB, yB, steps, label), g)
+                loss += l
+                if ((logit >= 0.0) == (label == 1)) correct += 1
+                if (label == 1) { posSum += logit; nPos += 1 } else negSum += logit
+                n += 1
+              }
+              idx += 1
+            }
+            Iterator.single((pid, GradPartial(g, loss, correct, n, posSum, negSum, nPos)))
           }
-          Iterator.single((pid, GradPartial(g, loss, correct, n, posSum, negSum, nPos)))
-        }
-      // depth-2 deterministic tree reduce — see Trainer (round-4 verdict
-      // item 3): driver receives ⌈√parts⌉ ~1 MB group sums, not `parts`
-      val tot = DetReduce.tree(partials, parts, GradPartial.merge)
-      bcP.destroy()
-      val grad = tot.g
-      val n = tot.n
-      require(tot.nPos > 0 && tot.nPos < n,
-        s"degenerate epoch label split: nPos=${tot.nPos} of n=$n — " +
-          "negative sampling produced no " +
-          (if (tot.nPos == 0) "positives" else "negatives"))
-      val margin = tot.posSum / tot.nPos - tot.negSum / (n - tot.nPos)
-      out += Trainer.Epoch(ep, math.floor(tot.loss / n * 1e6).toLong,
-        tot.correct * 1000000L / n, math.floor(margin * 1e6).toLong)
+        // depth-2 deterministic tree reduce — see Trainer (round-4 verdict
+        // item 3): driver receives ⌈√parts⌉ ~1 MB group sums, not `parts`
+        val tot = DetReduce.tree(partials, parts, GradPartial.merge)
+        bcP.destroy()
+        val grad = tot.g
+        val n = tot.n
+        epLoss += tot.loss; epCorrect += tot.correct; epN += n
+        epPos += tot.posSum; epNeg += tot.negSum; epNPos += tot.nPos
 
-      // mean gradient, clipped per TENSOR (tf.clip_by_norm is per variable:
-      // embed, Wz, Uz, Wr, Ur, Wh, Uh each by its own norm), shared Adam step
-      var i = 0
-      while (i < dims.size) { grad(i) /= n; i += 1 }
-      val clipped = new Array[Double](dims.size)
-      dims.tensorBounds.foreach { case (from, until) =>
-        val c = Losses.clipByNorm(grad.slice(from, until), 3.0)
-        System.arraycopy(c, 0, clipped, from, until - from)
+        // mean gradient, clipped per TENSOR (tf.clip_by_norm is per variable:
+        // embed, Wz, Uz, Wr, Ur, Wh, Uh each by its own norm), shared Adam
+        // step with the timestep advancing per STEP
+        var i = 0
+        while (i < dims.size) { grad(i) /= n; i += 1 }
+        val clipped = new Array[Double](dims.size)
+        dims.tensorBounds.foreach { case (from, until) =>
+          val c = Losses.clipByNorm(grad.slice(from, until), 3.0)
+          System.arraycopy(c, 0, clipped, from, until - from)
+        }
+        val (pN, mN, vN) = Losses.adamStep(p, clipped, m, vAdam,
+          t = ep * stepsPerEpoch + mb + 1,
+          lr = lr, maxGradNorm = Double.PositiveInfinity)
+        p = pN; m = mN; vAdam = vN
       }
-      val (pN, mN, vN) = Losses.adamStep(p, clipped, m, vAdam, t = ep + 1,
-        lr = lr, maxGradNorm = Double.PositiveInfinity)
-      p = pN; m = mN; vAdam = vN
+      require(epNPos > 0 && epNPos < epN,
+        s"degenerate epoch label split: nPos=$epNPos of n=$epN — " +
+          "negative sampling produced no " +
+          (if (epNPos == 0) "positives" else "negatives"))
+      val margin = epPos / epNPos - epNeg / (epN - epNPos)
+      out += Trainer.Epoch(ep, math.floor(epLoss / epN * 1e6).toLong,
+        epCorrect * 1000000L / epN, math.floor(margin * 1e6).toLong)
 
       for (table <- ckptTable)
         if ((ep + 1) % ckptEvery == 0 || ep == epochs - 1)

@@ -65,18 +65,30 @@ object Trainer {
   /** Train for `epochs` over candidates + sampled negatives; returns one row
     * per epoch with the floor-scaled mean loss, threshold accuracy and the
     * ranking margin (mean positive logit − mean negative logit), all
-    * computed with the PRE-update params of that epoch, so epoch 0 is the
+    * computed with the PRE-update params of that epoch (per micro-batch when
+    * `stepsPerEpoch` > 1, the per-batch SGD convention), so epoch 0 is the
     * untrained baseline. The margin is the primary learning signal: §2.9's
     * k=1 negative is the REVERSED pair, which this fixed encoder can barely
     * separate at threshold 0 (by design — the reference separates it by
     * training the embeddings themselves), but ranking positives above the
     * pooled negatives is squarely learnable by the trained head + output
     * layer. A resumed run emits only the epochs it actually executes.
+    *
+    * `stepsPerEpoch` (round-4 verdict item 6): the reference steps Adam once
+    * per 50-row mini-batch (relembed.py:650-671); the default here is ONE
+    * step per epoch on the mean gradient (the data-parallel large-batch
+    * shape, COVERAGE.md's declared deviation). B > 1 subdivides each
+    * partition's fixed-order example stream into B deterministic stride
+    * micro-batches (row i belongs to batch i mod B) and takes B
+    * broadcast→partial→reduce→Adam steps per epoch, with Adam's timestep
+    * advancing per STEP — the same determinism and checkpoint contracts
+    * hold, and B = 1 reproduces the original trajectory bit-for-bit.
     */
   def trainNegSampling(cands: Dataset[SdpCandidate], epochs: Int = 20,
                        negPer: Int = 2, seed: Long = 42L,
                        ckptTable: Option[String] = None, ckptEvery: Int = 5,
-                       parts: Int = 32): DataFrame = {
+                       parts: Int = 32, stepsPerEpoch: Int = 1): DataFrame = {
+    require(stepsPerEpoch >= 1, s"stepsPerEpoch must be >= 1, got $stepsPerEpoch")
     val spark = cands.sparkSession
     import spark.implicits._
 
@@ -133,61 +145,78 @@ object Trainer {
 
     val out = Vector.newBuilder[Epoch]
     for (ep <- startEp until epochs) {
-      val bcP = spark.sparkContext.broadcast((d, b))
-      // one narrow pass: per-partition (grad[dim+1], lossSum, correct, n)
-      val partials = examples.select("label", "f").as[(Int, Array[Float])]
-        .rdd.mapPartitionsWithIndex { (pid, it) =>
-          val (dd, bb) = bcP.value
-          val g = new Array[Double](dim + 1)
-          var loss = 0.0; var correct = 0L; var n = 0L
-          var posSum = 0.0; var negSum = 0.0; var nPos = 0L
-          it.foreach { case (label, f) =>
-            var logit = bb
-            var i = 0
-            while (i < dim) { logit += dd(i) * f(i); i += 1 }
-            val y = label.toDouble
-            loss += Losses.sigmoidXent(logit, y)
-            if ((logit >= 0.0) == (label == 1)) correct += 1
-            if (label == 1) { posSum += logit; nPos += 1 } else negSum += logit
-            n += 1
-            val err = 1.0 / (1.0 + math.exp(-logit)) - y // σ(logit) − y
-            i = 0
-            while (i < dim) { g(i) += err * f(i); i += 1 }
-            g(dim) += err
+      // epoch-level metric accumulators (per-micro-batch pre-update values,
+      // summed — the per-batch SGD metrics convention; at B = 1 identical
+      // to the original single-pass epoch metrics)
+      var epLoss = 0.0; var epCorrect = 0L; var epN = 0L
+      var epPos = 0.0; var epNeg = 0.0; var epNPos = 0L
+      for (mb <- 0 until stepsPerEpoch) {
+        val bcP = spark.sparkContext.broadcast((d, b))
+        // one narrow pass: per-partition (grad[dim+1], lossSum, correct, n)
+        // over this micro-batch's stride (row i ∈ batch i mod B — the fixed
+        // layout makes the stride deterministic)
+        val partials = examples.select("label", "f").as[(Int, Array[Float])]
+          .rdd.mapPartitionsWithIndex { (pid, it) =>
+            val (dd, bb) = bcP.value
+            val g = new Array[Double](dim + 1)
+            var loss = 0.0; var correct = 0L; var n = 0L
+            var posSum = 0.0; var negSum = 0.0; var nPos = 0L
+            var idx = 0
+            it.foreach { case (label, f) =>
+              if (idx % stepsPerEpoch == mb) {
+                var logit = bb
+                var i = 0
+                while (i < dim) { logit += dd(i) * f(i); i += 1 }
+                val y = label.toDouble
+                loss += Losses.sigmoidXent(logit, y)
+                if ((logit >= 0.0) == (label == 1)) correct += 1
+                if (label == 1) { posSum += logit; nPos += 1 } else negSum += logit
+                n += 1
+                val err = 1.0 / (1.0 + math.exp(-logit)) - y // σ(logit) − y
+                i = 0
+                while (i < dim) { g(i) += err * f(i); i += 1 }
+                g(dim) += err
+              }
+              idx += 1
+            }
+            Iterator.single((pid, GradPartial(g, loss, correct, n, posSum, negSum, nPos)))
           }
-          Iterator.single((pid, GradPartial(g, loss, correct, n, posSum, negSum, nPos)))
-        }
-      // depth-2 deterministic tree reduce (DetReduce: pid-keyed fixed
-      // association — bit-identical across runs, cluster sizes, and
-      // scheduling; driver receives ⌈√parts⌉ group sums, not `parts`
-      // partials — round-4 verdict item 3)
-      val tot = DetReduce.tree(partials, parts, GradPartial.merge)
-      bcP.destroy()
-      val grad = tot.g
-      val n = tot.n
+        // depth-2 deterministic tree reduce (DetReduce: pid-keyed fixed
+        // association — bit-identical across runs, cluster sizes, and
+        // scheduling; driver receives ⌈√parts⌉ group sums, not `parts`
+        // partials — round-4 verdict item 3)
+        val tot = DetReduce.tree(partials, parts, GradPartial.merge)
+        bcP.destroy()
+        val grad = tot.g
+        val n = tot.n
+        epLoss += tot.loss; epCorrect += tot.correct; epN += n
+        epPos += tot.posSum; epNeg += tot.negSum; epNPos += tot.nPos
+
+        // mean gradient → per-TENSOR clip_by_norm(3) on d, wOut, b separately
+        // (tf.clip_by_norm clips each variable's gradient by its own norm),
+        // then one shared Adam step over the concatenation; Adam's timestep
+        // advances once per STEP, not per epoch
+        var i = 0
+        while (i <= dim) { grad(i) /= n; i += 1 }
+        val gD = Losses.clipByNorm(grad.slice(0, fDim), 3.0)
+        val gO = Losses.clipByNorm(grad.slice(fDim, dim), 3.0)
+        val gB = Losses.clipByNorm(Array(grad(dim)), 3.0)
+        val clipped = gD ++ gO ++ gB
+        val (pN, mN, vN) = Losses.adamStep(d :+ b, clipped, m, v,
+          t = ep * stepsPerEpoch + mb + 1,
+          lr = 0.05 /* lr scaled up: few epochs on a tiny feature head */,
+          maxGradNorm = Double.PositiveInfinity /* already clipped per tensor */)
+        d = pN.take(dim); b = pN(dim); m = mN; v = vN
+      }
       // a degenerate all-positive / all-negative epoch means sampling broke;
       // fail loudly instead of reporting a silent NaN→0 margin (ADVICE r4)
-      require(tot.nPos > 0 && tot.nPos < n,
-        s"degenerate epoch label split: nPos=${tot.nPos} of n=$n — " +
+      require(epNPos > 0 && epNPos < epN,
+        s"degenerate epoch label split: nPos=$epNPos of n=$epN — " +
           "negative sampling produced no " +
-          (if (tot.nPos == 0) "positives" else "negatives"))
-      val margin = tot.posSum / tot.nPos - tot.negSum / (n - tot.nPos)
-      out += Epoch(ep, math.floor(tot.loss / n * 1e6).toLong,
-        tot.correct * 1000000L / n, math.floor(margin * 1e6).toLong)
-
-      // mean gradient → per-TENSOR clip_by_norm(3) on d, wOut, b separately
-      // (tf.clip_by_norm clips each variable's gradient by its own norm),
-      // then one shared Adam step over the concatenation
-      var i = 0
-      while (i <= dim) { grad(i) /= n; i += 1 }
-      val gD = Losses.clipByNorm(grad.slice(0, fDim), 3.0)
-      val gO = Losses.clipByNorm(grad.slice(fDim, dim), 3.0)
-      val gB = Losses.clipByNorm(Array(grad(dim)), 3.0)
-      val clipped = gD ++ gO ++ gB
-      val (pN, mN, vN) = Losses.adamStep(d :+ b, clipped, m, v, t = ep + 1,
-        lr = 0.05 /* lr scaled up: few epochs on a tiny feature head */,
-        maxGradNorm = Double.PositiveInfinity /* already clipped per tensor */)
-      d = pN.take(dim); b = pN(dim); m = mN; v = vN
+          (if (epNPos == 0) "positives" else "negatives"))
+      val margin = epPos / epNPos - epNeg / (epN - epNPos)
+      out += Epoch(ep, math.floor(epLoss / epN * 1e6).toLong,
+        epCorrect * 1000000L / epN, math.floor(margin * 1e6).toLong)
 
       // durable state commit through the engine's snapshot log
       for (table <- ckptTable)

@@ -37,6 +37,27 @@ class TrainerSpec extends SparkSuite {
     assert(again.toSeq == epochs.map(r => (r.getLong(1), r.getLong(3))).toSeq)
   }
 
+  test("stepsPerEpoch > 1: micro-batch SGD still learns, deterministically") {
+    // B = 3 stride micro-batches per epoch (the reference's per-batch Adam
+    // granularity, round-4 verdict item 6) — three times the optimizer
+    // steps, so fewer epochs reach a learning signal
+    val epochs = Trainer.trainNegSampling(cands, epochs = 8, stepsPerEpoch = 3)
+      .collect().sortBy(_.getInt(0))
+    assert(epochs.length == 8)
+    val losses = epochs.map(_.getLong(1))
+    val margins = epochs.map(_.getLong(3))
+    assert(losses.last < losses.head, s"loss did not fall at B=3: ${losses.toSeq}")
+    assert(margins.last > margins.head, s"margin did not grow at B=3: ${margins.toSeq}")
+    // the micro-batched trajectory DIFFERS from the one-step-per-epoch one
+    // (more Adam steps per epoch) but is itself deterministic
+    val b1 = Trainer.trainNegSampling(cands, epochs = 8)
+      .collect().sortBy(_.getInt(0)).map(_.getLong(1))
+    assert(losses.toSeq != b1.toSeq, "B=3 unexpectedly identical to B=1")
+    val again = Trainer.trainNegSampling(cands, epochs = 8, stepsPerEpoch = 3)
+      .collect().sortBy(_.getInt(0)).map(r => (r.getLong(1), r.getLong(3)))
+    assert(again.toSeq == epochs.map(r => (r.getLong(1), r.getLong(3))).toSeq)
+  }
+
   test("checkpoint/resume: a killed run resumes bit-identically, wOut trains") {
     val dir = java.nio.file.Files.createTempDirectory("trainer-ckpt").toString
     val straight = Trainer.trainNegSampling(cands, epochs = 8)
