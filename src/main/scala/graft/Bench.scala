@@ -29,14 +29,22 @@ import org.apache.spark.sql.SparkSession
   * with wider error bars beats a perfect protocol that never reports.
   *
   * Round-5 robustness (round-4 verdict items 1-2): phase order is queries →
-  * fused 4→16 (the barometer) → pipeline 1→4 with FULL-scale warmup →
-  * fused 8→32 and pipeline 2→8 on leftover budget only; any window whose
-  * raw efficiency exceeds 1.0 (physically impossible — steal landed on the
-  * small side) is REJECTED and re-run within budget instead of averaged in;
-  * every pair emits its accepted + rejected windows, scored-round count,
-  * warmup-only flag, and per-round rep seconds, so the one-shot driver
-  * artifact is auditable stand-alone and never carries an unexplained >1.0
-  * figure (`estimate` invariant, pinned by BenchSpec).
+  * pipeline 1→4 with FULL-scale warmup (the north rule's named job OWNS the
+  * budget and runs first among the scaling phases: a round-5 validation run
+  * that kept it second entered the phase with 811 s remaining and its
+  * minimum full session — corpus + serial full-scale p1 pre-READY warmup +
+  * paired warmup round — cost 1700 s in that steal epoch, overrunning the
+  * deadline by 889 s and scoring NOTHING; entered right after the queries
+  * phase it starts with ~1880 s, which fits a full session even at ~2.5×
+  * steal) → fused 4→16 (the barometer — order-independent, it qualifies the
+  * epoch wherever in the session it ran) → fused 8→32 and pipeline 2→8 on
+  * leftover budget only; any window whose raw efficiency exceeds 1.0
+  * (physically impossible — steal landed on the small side) is REJECTED and
+  * re-run within budget instead of averaged in; every pair emits its
+  * accepted + rejected windows, scored-round count, warmup-only flag, and
+  * per-round rep seconds, so the one-shot driver artifact is auditable
+  * stand-alone and never carries an unexplained >1.0 figure (`estimate`
+  * invariant, pinned by BenchSpec).
   */
 object Bench {
 
@@ -520,36 +528,15 @@ object Bench {
       }
       if (queriesOnly) { crashed = false; return }
 
-      // ---- phase 2: fused-kernel 4→16, the primary N vs 4N pair ----
-      // Executor HOSTS in a cluster do not share one memory bus/LLC the way
-      // 32 local threads do; the 4→16 pair stays inside the socket's
-      // bandwidth envelope for the compute-dense kernel and is the faithful
-      // analog of adding hosts (BENCH.md). 2 in-session windows × `reps`.
-      // This pair is also the pipeline phase's steal barometer, so a junk
-      // (>1.0) window here gets ONE replacement window — but only while the
-      // pipeline pair behind it still has a full budget (it is the north
-      // rule's named job and owns the remaining time).
-      // Entry gate (ADVICE round 4): below ~300 s there is only time for the
-      // discarded-by-protocol warmup round — spinning up two JVMs to publish
-      // a warmup-only estimate is worse than an explicit skip.
-      if (remaining > 300) {
-        // yield floor: normally 850 s (the pipeline phase's full budget);
-        // in an epoch already too stretched for a full pipeline session the
-        // floor relaxes so this pair still scores a couple of rounds instead
-        // of stopping at its own warmup
-        val fusedFloor = math.min(850.0, remaining - 150.0)
-        fused416 = Some(runPair(4, 0, 16, 16, repl, reps, windows = 2,
-          stopEarly = () => remaining < fusedFloor,
-          maxExtraWindows = 1, extraGate = () => remaining > 1150))
-        System.err.println(f"[bench] fused 4v16 done at $elapsed%.0f s")
-      } else skipped += "fused_4_16"
-
-      // ---- phase 3: FULL-PIPELINE 1→4 (docs → canonical triples) ----
-      // Runs IMMEDIATELY after the barometer pair (round-4 verdict item 1b:
-      // the 8→32 phase is evidence-secondary and is demoted to leftover
-      // budget — a steal-stretched 8v32 must never again trim the north
-      // rule's named job). Warmup is FULL-scale, always.
-      // The north rule names docs→canonical triples as the scaled job.
+      // ---- phase 2: FULL-PIPELINE 1→4 (docs → canonical triples) ----
+      // FIRST among the scaling phases (round-5 reorder — see the class
+      // doc): the north rule names docs→canonical triples as the scaled
+      // job, and its session carries an unguardable serial prefix (corpus
+      // snapshot + full-scale p1 pre-READY warmup + the paired warmup
+      // round, ~300 s calm and multiples of that under steal) that must
+      // never again be entered on a leftover budget. Warmup is FULL-scale,
+      // always (round-4: quarter warmup under-warmed the short-rep 4N side
+      // by ~0.07 efficiency).
       // PRIMARY pair = 1→4: the pipeline's encode/join stages are far more
       // allocation-intensive per row than the fused kernel, and measured
       // task-CPU per row on this box rises with BUSY CORE COUNT in
@@ -561,14 +548,36 @@ object Bench {
       // level still sits inside that envelope, so it measures the ENGINE's
       // coordination overhead; 2→8 is the saturated-socket bound alongside.
       // Full gradient table + serial-floor audit: BENCH.md. Up to two
-      // replacement windows re-run rejected (>1.0) ones within budget.
-      if (remaining > 450) {
+      // replacement windows re-run rejected (>1.0) ones within budget; the
+      // stop floor (350 s) and the extra-window gate (650 s) both reserve
+      // enough tail for a minimal fused 4→16 barometer session behind it.
+      if (remaining > 600) {
         pipe14 = Some(runPair(1, 0, 4, 4, pipeRepl, pipeReps, job = "pipeline",
           windows = 2, corpus = ensurePipeCorpus(),
-          stopEarly = () => remaining < 180,
-          maxExtraWindows = 2, extraGate = () => remaining > 420))
+          stopEarly = () => remaining < 350,
+          maxExtraWindows = 2, extraGate = () => remaining > 650))
         System.err.println(f"[bench] pipeline 1v4 done at $elapsed%.0f s")
       } else skipped += "pipeline_1_4"
+
+      // ---- phase 3: fused-kernel 4→16 — barometer + kg headline ----
+      // Executor HOSTS in a cluster do not share one memory bus/LLC the way
+      // 32 local threads do; the 4→16 pair stays inside the socket's
+      // bandwidth envelope for the compute-dense kernel and is the faithful
+      // analog of adding hosts (BENCH.md). 2 in-session windows × `reps`.
+      // This pair is the pipeline phase's steal barometer (the fused
+      // kernel's clean-epoch scaling is known, 0.83-0.90 across rounds) —
+      // the reading qualifies the SESSION's epoch, so it is equally valid
+      // measured after the pipeline pair as before it. A junk (>1.0)
+      // window gets ONE replacement window within budget.
+      // Entry gate (ADVICE round 4): below ~250 s there is only time for
+      // the discarded-by-protocol warmup round — spinning up two JVMs to
+      // publish a warmup-only estimate is worse than an explicit skip.
+      if (remaining > 250) {
+        fused416 = Some(runPair(4, 0, 16, 16, repl, reps, windows = 2,
+          stopEarly = () => remaining < 120,
+          maxExtraWindows = 1, extraGate = () => remaining > 500))
+        System.err.println(f"[bench] fused 4v16 done at $elapsed%.0f s")
+      } else skipped += "fused_4_16"
 
       // ---- phase 4: fused 8→32 — headline p32 + saturated-socket bound ----
       // Leftover budget only (evidence-secondary). 8|32 pins necessarily

@@ -19,27 +19,39 @@ import org.apache.spark.sql.functions._
   * rounds (CanonSpec) instead of silently exhausting `maxIter` at
   * Θ(diameter), which plain hash-min would.
   *
-  * Round cost (round-5 rework): each round's labels are materialized by an
-  * eager `localCheckpoint` (one labels-sized job) and the convergence signal
-  * is a `sum(__chg)` over the resulting LEAF (a near-free second job over
-  * the cached partitions). Round 2 used `Dataset.observe` for this
-  * (`Observation.get` stalled ~2 s per round on the listener bus); round 3
-  * rode the aggregation on a persist — ONE action, but the round plan then
-  * referenced the PREVIOUS round's plan twice (hash-min push + pointer
-  * shortcut), so the un-truncated logical tree DOUBLED per round and driver
-  * analysis went exponential between the every-5-rounds truncations
-  * (probe-measured at p4: inter-job gaps 0.1→3.8 s and job times 0.3→6 s
-  * across rounds 1-5 — a ~14 s fixed serial term per pipeline rep that the
-  * N→4N scaling pair mis-attributed to the engine).
+  * Round cost (round-5 final form): ONE action per round, and BOTH the
+  * materialization and the lineage truncation ride on it — the round's
+  * labels (plus a per-row `__chg` bit) are wrapped in a LAZY
+  * `localCheckpoint(eager = false)` and materialized by the single
+  * `sum(__chg)` convergence aggregation. Two designs this supersedes, both
+  * measured here: `Dataset.observe` for the convergence signal (round 2 —
+  * `Observation.get` stalls ~2 s per round on the listener bus); and
+  * persist-per-round with truncation only every `checkpointEvery` rounds
+  * (rounds 3-4 — each round's plan references the PREVIOUS round's plan
+  * TWICE, hash-min push + pointer shortcut, so between truncations the
+  * un-truncated logical tree DOUBLED per round and driver analysis went
+  * exponential: probe-measured at 4 cores, inter-job gaps 0.1→3.8 s and job
+  * times 0.3→6 s across rounds 1-5 — a ~14 s fixed SERIAL term per pipeline
+  * rep, identical at every parallelism level, that the N→4N scaling pair
+  * mis-attributed to the engine; removing it cut a p4 pipeline rep
+  * 46.7→36.5 s). An EAGER per-round checkpoint fixes the analysis cost too
+  * but pays a second labels-sized job per round (the materializing job plus
+  * the convergence scan) — a pure serial add-on heaviest at 1 core; the
+  * lazy form folds truncation into the round's one job.
   *
-  * Lineage: the edge table is truncated once at entry (`localCheckpoint`);
-  * labels are truncated EVERY round by the eager checkpoint above, so every
-  * round analyzes a constant-size three-leaf plan. Durability is a separate
-  * cadence: every `checkpointEvery` rounds the labels also commit through
-  * TableIO when `ckptDir` is given (survives process loss; a rerun with the
-  * same `ckptDir` resumes from the last committed labels — hash-min is
-  * monotone and idempotent, so resuming from any intermediate labeling is
-  * exact). Production callers always pass a directory.
+  * Lineage/storage: the edge table is truncated once at entry
+  * (`localCheckpoint`), labels every round by the lazy checkpoint above, so
+  * every round analyzes a constant-size three-leaf plan. A dead round's
+  * checkpoint blocks are labels-sized and freed asynchronously by the
+  * ContextCleaner once the loop drops the reference (RDD-level checkpoint
+  * blocks live outside the SQL cache, so `Dataset.unpersist` could not free
+  * them anyway); the bench harness additionally clears all persistent RDDs
+  * between reps. Durability is a separate cadence: every `checkpointEvery`
+  * rounds the labels also commit through TableIO when `ckptDir` is given
+  * (survives process loss; a rerun with the same `ckptDir` resumes from the
+  * last committed labels — hash-min is monotone and idempotent, so resuming
+  * from any intermediate labeling is exact). Production callers always pass
+  * a directory.
   */
 object ConnectedComponents {
 
@@ -93,25 +105,25 @@ object ConnectedComponents {
       // O(log diameter) (CanonSpec pins a 3 000-chain inside 24 rounds).
       // Cost: one extra labels-sized join per round, not edge-sized.
       val parent = labels.select(col("id").as("__pid"), col("component").as("__pcomp"))
-      // eager checkpoint = the round's materializing action AND its lineage
-      // truncation (see object doc: this round is referenced TWICE by the
-      // next one, so an un-truncated tree doubles per round)
+      // LAZY checkpoint = plan truncation with NO job of its own — the
+      // convergence aggregation below materializes it (see object doc)
       val next = stepped
         .join(parent, col("m") === col("__pid"), "left")
         .select(stepped("id"),
           least(col("m"), coalesce(col("__pcomp"), col("m"))).as("component"),
           (least(col("m"), coalesce(col("__pcomp"), col("m"))) < stepped("component"))
             .cast("long").as("__chg"))
-        .localCheckpoint(eager = true)
-      // convergence signal: a near-free scan of the checkpointed partitions
+        .localCheckpoint(eager = false)
+      // the round's single action: materializes the checkpoint AND returns
+      // the number of labels that changed
       val changed = next.agg(coalesce(sum("__chg"), lit(0L))).first().getLong(0)
 
       val durable = table.isDefined && (iter + 1) % checkpointEvery == 0
       labels =
         if (durable) {
-          // scan of the just-checkpointed leaf; the committed snapshot is
-          // durable (resume point) — the leaf itself stays this round's
-          // in-memory working set
+          // scan of the just-materialized checkpoint; the committed snapshot
+          // is durable (resume point) — the checkpoint itself stays this
+          // round's in-memory working set
           TableIO.commit(next.select("id", "component"), table.get)
           TableIO.read(edges.sparkSession, table.get)
         } else next.select("id", "component")
