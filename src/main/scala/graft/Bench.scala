@@ -78,14 +78,23 @@ object Bench {
     */
   case class PairResult(small: KgStats, big: KgStats,
                         eff: Double, raw: Double, windows: Seq[Double],
-                        rejected: Seq[Double], roundsScored: Int,
+                        rejected: Seq[Double], suspect: Seq[Double],
+                        usedSuspect: Boolean, roundsScored: Int,
                         warmupOnly: Boolean, repSec: Seq[(Double, Double)],
                         repsPerWindow: Int)
 
-  /** Estimator outcome over one pair's alternating rounds (see `estimate`). */
+  /** Estimator outcome over one pair's alternating rounds (see `estimate`).
+    * `windows` = the window estimates the median actually used; `rejected` =
+    * physically-impossible (>1.0) windows; `suspect` = steal-contaminated
+    * windows (per-side best more than `suspectInfl` slower than the
+    * session's best for that side); `usedSuspect` = true when no clean
+    * window existed and the median fell back to the suspect ones.
+    */
   private[graft] final case class Estimate(raw: Double, eff: Double,
                                            windows: Seq[Double],
                                            rejected: Seq[Double],
+                                           suspect: Seq[Double],
+                                           usedSuspect: Boolean,
                                            roundsScored: Int) {
     def warmupOnly: Boolean = roundsScored == 0
   }
@@ -106,11 +115,29 @@ object Bench {
     * is impossible, raw = the least-impossible (minimum) rejected value and
     * `rejected` flags the artifact. eff = min(raw, 1.0) always.
     *
+    * STEAL-SUSPECT windows (round 5): host steal is bursty on 10-20 minute
+    * scales — a round-5 validation run saw the pipeline pair read 0.658
+    * under a 20-minute steal stretch while the fused barometer, measured
+    * ten minutes LATER, read a calm 0.893, so an out-of-phase barometer
+    * cannot qualify this pair's stretch. The pair carries its own in-phase
+    * signal instead: every rep of a side samples the same job on the same
+    * input, so the session's best tps per side is the side's demonstrated
+    * floor, and a window whose per-side best is more than `suspectInfl`
+    * slower than that floor (default 1.15×; calm-epoch within-session
+    * spread measures ≤1.10×) ran under contamination. The check is
+    * SYMMETRIC — small-side steal inflates the ratio, big-side steal
+    * deflates it — so it guards both directions. Suspect windows are
+    * excluded from the median whenever at least one clean window exists
+    * (and `runPair` re-runs replacements within budget); when EVERY window
+    * is suspect the median falls back to them with `usedSuspect = true`,
+    * flagging the artifact instead of silently publishing.
+    *
     * Invariant (enforced by construction, pinned by BenchSpec): eff ≤ 1.0,
     * every value in `windows` ≤ 1.0, and raw ≤ 1.0 unless `rejected` is
     * non-empty.
     */
-  private[graft] def estimate(all: Seq[(Double, Double)], reps: Int): Estimate = {
+  private[graft] def estimate(all: Seq[(Double, Double)], reps: Int,
+                              suspectInfl: Double = 1.15): Estimate = {
     // the first alternating round is paired warmup (residual JIT/cache
     // effects consistently depress it)
     val scored = if (all.size > 1) all.drop(1) else all
@@ -126,12 +153,28 @@ object Bench {
       if (groups0.size > 1 && groups0.last.size < 2)
         groups0.dropRight(2) :+ (groups0(groups0.size - 2) ++ groups0.last)
       else groups0
-    val winEsts0 = groups.filter(_.size >= 2).map(est).toVector
-    // degenerate (a single scored — or warmup-only — round): one estimate
-    val winEsts = if (winEsts0.nonEmpty) winEsts0 else Vector(est(scored))
-    val (ok, rejected) = winEsts.partition(_ <= 1.0)
-    val raw = if (ok.nonEmpty) median(ok) else rejected.min
-    Estimate(raw, math.min(raw, 1.0), ok, rejected,
+    val groups1 = groups.filter(_.size >= 2)
+    // degenerate (a single scored — or warmup-only — round): one window
+    val winGroups = if (groups1.nonEmpty) groups1 else Vector(scored.toVector)
+    // per-side demonstrated floor: the best tps each side reached anywhere
+    // in the session, INCLUDING the warmup round (a warmup rep is never
+    // faster than the engine's floor, so it can only tighten the bound)
+    val floorSmall = all.map(_._1).max
+    val floorBig = all.map(_._2).max
+    def isSuspect(w: Seq[(Double, Double)]): Boolean =
+      w.map(_._1).max * suspectInfl < floorSmall ||
+        w.map(_._2).max * suspectInfl < floorBig
+    val ests = winGroups.map(w => (est(w), isSuspect(w)))
+    val (rejectedE, okE) = ests.partition(_._1 > 1.0)
+    val rejected = rejectedE.map(_._1)
+    val (suspectE, cleanE) = okE.partition(_._2)
+    val suspect = suspectE.map(_._1)
+    val (used, usedSuspect) =
+      if (cleanE.nonEmpty) (cleanE.map(_._1), false)
+      else if (suspect.nonEmpty) (suspect, true)
+      else (Vector.empty[Double], false)
+    val raw = if (used.nonEmpty) median(used) else rejected.min
+    Estimate(raw, math.min(raw, 1.0), used, rejected, suspect, usedSuspect,
       roundsScored = math.max(all.size - 1, 0))
   }
 
@@ -261,7 +304,8 @@ object Bench {
                       corpus: Seq[String] = Nil,
                       stopEarly: () => Boolean = () => false,
                       maxExtraWindows: Int = 0,
-                      extraGate: () => Boolean = () => false): PairResult = {
+                      extraGate: () => Boolean = () => false,
+                      suspectInfl: Double = 1.15): PairResult = {
     val a = new Level(small, repl, smallPin, job, corpus)
     // overlapping pins (8|32 on a 32-core box) must warm up serially;
     // disjoint pins overlap their untimed warmups to save wall-clock
@@ -294,26 +338,36 @@ object Bench {
         true
       }
       val full = runRounds(1 + windows * reps)
-      var e = estimate(all.toSeq, reps)
-      // replacement windows for rejected (>1.0) ones — only when the initial
-      // session ran to completion (a deadline-trimmed pair has no budget by
-      // definition) and the pair's own budget gate still holds
+      var e = estimate(all.toSeq, reps, suspectInfl)
+      // replacement windows for rejected (>1.0) or steal-suspect ones — only
+      // when the initial session ran to completion (a deadline-trimmed pair
+      // has no budget by definition) and the pair's own budget gate still
+      // holds. Clean windows = the ones the median used when usedSuspect is
+      // false; a later, calmer replacement window can also LOWER a side's
+      // floor and retro-flag an earlier window, which is exactly the
+      // desired behavior (the earlier window ran under contamination).
+      def cleanCount: Int = if (e.usedSuspect) 0 else e.windows.size
       var extra = 0
-      while (full && e.rejected.nonEmpty && e.windows.size < windows &&
+      while (full && (e.rejected.nonEmpty || e.suspect.nonEmpty) &&
+             cleanCount < windows &&
              extra < maxExtraWindows && extraGate() && !stopEarly()) {
         System.err.println(
-          f"[bench $job ${small}v$big] window rejected (raw > 1.0: " +
-            f"${e.rejected.map(r => f"$r%.3f").mkString(" ")}) — re-running a replacement window")
+          f"[bench $job ${small}v$big] window(s) excluded (" +
+            f"rejected > 1.0: ${e.rejected.map(r => f"$r%.3f").mkString(" ")}; " +
+            f"steal-suspect: ${e.suspect.map(r => f"$r%.3f").mkString(" ")}) " +
+            "— re-running a replacement window")
         runRounds(reps)
         extra += 1
-        e = estimate(all.toSeq, reps)
+        e = estimate(all.toSeq, reps, suspectInfl)
       }
       System.err.println(
         f"[bench $job ${small}v$big] windows ${e.windows.map(x => f"$x%.3f").mkString(" ")} " +
           f"rejected ${e.rejected.map(x => f"$x%.3f").mkString(" ")} " +
+          f"suspect ${e.suspect.map(x => f"$x%.3f").mkString(" ")}${if (e.usedSuspect) " (USED: no clean window)" else ""} " +
           f"-> raw ${e.raw}%.3f reported ${e.eff}%.3f " +
           f"(round ratios ${all.map { case (ta, tb) => f"${tb / (4.0 * ta)}%.3f" }.mkString(" ")}, first = warmup)")
       PairResult(a.best, b.best, e.eff, e.raw, e.windows, e.rejected,
+        e.suspect, e.usedSuspect,
         e.roundsScored, e.warmupOnly, secs.toSeq, reps)
     } finally { a.close(); b.close() }
   }
@@ -403,6 +457,8 @@ object Bench {
     def pairFields(p: PairResult, sfx: String): String =
       s""""eff_windows$sfx":[${p.windows.map(e => f"$e%.3f").mkString(",")}],""" +
         s""""rejected_windows$sfx":[${p.rejected.map(e => f"$e%.3f").mkString(",")}],""" +
+        s""""suspect_windows$sfx":[${p.suspect.map(e => f"$e%.3f").mkString(",")}],""" +
+        s""""used_suspect$sfx":${p.usedSuspect},""" +
         s""""rounds_scored$sfx":${p.roundsScored},"warmup_only$sfx":${p.warmupOnly},""" +
         s""""reps_per_window$sfx":${p.repsPerWindow},""" +
         s""""rep_sec$sfx":[${p.repSec.map { case (x, y) => f"[$x%.2f,$y%.2f]" }.mkString(",")}],"""
@@ -573,9 +629,16 @@ object Bench {
       // the discarded-by-protocol warmup round — spinning up two JVMs to
       // publish a warmup-only estimate is worse than an explicit skip.
       if (remaining > 250) {
+        // suspectInfl 1.25 (vs the pipeline pair's 1.15): fused reps are
+        // short (11-16 s) so their calm within-session per-side spread
+        // brushes 1.15 (measured 1.143 in a moderate epoch) — a tighter
+        // bound would burn replacement-window budget on false positives.
+        // The barometer's worst failure mode (small-side inflation past
+        // 1.0) is caught by the >1.0 rejection regardless.
         fused416 = Some(runPair(4, 0, 16, 16, repl, reps, windows = 2,
           stopEarly = () => remaining < 120,
-          maxExtraWindows = 1, extraGate = () => remaining > 500))
+          maxExtraWindows = 1, extraGate = () => remaining > 500,
+          suspectInfl = 1.25))
         System.err.println(f"[bench] fused 4v16 done at $elapsed%.0f s")
       } else skipped += "fused_4_16"
 
@@ -586,7 +649,7 @@ object Bench {
       // for nothing; calm epochs reach here with ~400+ s to spare.
       if (remaining > 280) {
         fused832 = Some(runPair(8, 0, 32, 0, repl, 5, overlapWarmup = false,
-          stopEarly = () => remaining < 140))
+          stopEarly = () => remaining < 140, suspectInfl = 1.25))
         System.err.println(f"[bench] fused 8v32 done at $elapsed%.0f s")
       } else skipped += "fused_8_32"
 

@@ -25,6 +25,11 @@ class BenchSpec extends AnyFunSuite {
     assert(e.raw <= 1.0 || e.rejected.nonEmpty,
       s"raw ${e.raw} > 1.0 without a rejected_windows explanation")
     assert(e.rejected.forall(_ > 1.0), s"rejected a possible window: ${e.rejected}")
+    assert(e.suspect.forall(_ <= 1.0), s"suspect window > 1.0: ${e.suspect}")
+    // the median never silently blends suspect windows into clean ones:
+    // either it used only clean windows, or it fell back to only suspect
+    // ones and said so
+    if (e.usedSuspect) assert(e.windows == e.suspect)
   }
 
   test("physically-impossible (>1.0) window is rejected, not medianed in") {
@@ -87,6 +92,47 @@ class BenchSpec extends AnyFunSuite {
     invariant(e)
     assert(e.windows.size == 2)
     assert(e.roundsScored == 5)
+  }
+
+  test("big-side steal-deflated window is suspect-excluded when a clean one exists") {
+    // run-2 shape (round-5 validation): a sustained steal stretch slowed the
+    // BIG side 20-30% below its session floor, deflating the ratio to ~0.65
+    // while the small side stayed calm. With one clean window present the
+    // suspect window must be excluded from the median, not averaged in.
+    val all = Seq(round(900, 0.80),
+      round(1000, 0.86), round(1010, 0.84),       // clean window (floorBig 3440)
+      round(1000, 0.64), round(1005, 0.66))       // big bests ≤ 2653 — >15% below floor
+    val e = Bench.estimate(all, reps = 2)
+    invariant(e)
+    assert(e.suspect.size == 1 && e.suspect.head < 0.7)
+    assert(!e.usedSuspect && e.windows.size == 1 && e.windows.head > 0.8)
+    assert(e.raw == e.windows.head)
+  }
+
+  test("small-side steal that stays below 1.0 is still suspect-excluded (symmetric)") {
+    // small-side steal INFLATES the ratio; when the inflation keeps the
+    // estimate under 1.0 the >1.0 rejection never fires, but the window's
+    // small-side best sits >15% below the session floor — suspect.
+    val all = Seq(round(950, 0.80),
+      round(1000, 0.84), round(1010, 0.82),       // clean (floorSmall 1010)
+      round(760, 0.99), round(750, 0.97))         // small bests ≤ 760 — >15% below floor
+    val e = Bench.estimate(all, reps = 2)
+    invariant(e)
+    assert(e.suspect.size == 1 && e.suspect.head > 0.9)
+    assert(!e.usedSuspect && e.windows.size == 1 && e.windows.head < 0.85)
+  }
+
+  test("all windows suspect: median falls back to them with usedSuspect flagged") {
+    // a fast warmup pins the floors; every scored window then runs slow on
+    // the big side — there is no clean window, so the estimator must still
+    // publish (the fallback median) but flag the artifact.
+    val all = Seq((1200.0, 4.0 * 1200.0 * 0.85),
+      round(1180, 0.60), round(1190, 0.62),
+      round(1185, 0.58), round(1175, 0.61))
+    val e = Bench.estimate(all, reps = 2)
+    invariant(e)
+    assert(e.usedSuspect && e.suspect.size == 2 && e.windows == e.suspect)
+    assert(e.raw < 0.7 && e.eff == e.raw)
   }
 
   test("invariant holds across randomized steal traces") {
