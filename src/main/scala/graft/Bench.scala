@@ -67,9 +67,10 @@ object Bench {
 
   /** N vs 4N pair outcome. `eff` is the REPORTED efficiency, capped at 1.0
     * (a scaling efficiency above 1.0 in a driver artifact reads as a broken
-    * measurement — round-3 verdict); `raw` is the uncapped estimate;
-    * `windows` the ACCEPTED per-window estimates that fed it; `rejected` the
-    * physically-impossible (>1.0) windows excluded from the median (round-4
+    * measurement — round-3 verdict); `raw` is the uncapped session
+    * floor-ratio estimate (see `estimate`); `windowMedian`/`windows` the
+    * dispersion audit (accepted per-window estimates and their median);
+    * `rejected` the physically-impossible (>1.0) estimates (round-4
     * verdict: a 4→16 window of 1.295 is a steal burst on the small side, not
     * a measurement); `repSec` every round's (small, big) rep seconds so the
     * artifact is auditable without stderr; `roundsScored`/`warmupOnly` mark
@@ -77,20 +78,26 @@ object Bench {
     * round (ADVICE round 4).
     */
   case class PairResult(small: KgStats, big: KgStats,
-                        eff: Double, raw: Double, windows: Seq[Double],
+                        eff: Double, raw: Double, windowMedian: Double,
+                        windows: Seq[Double],
                         rejected: Seq[Double], suspect: Seq[Double],
                         usedSuspect: Boolean, roundsScored: Int,
                         warmupOnly: Boolean, repSec: Seq[(Double, Double)],
                         repsPerWindow: Int)
 
   /** Estimator outcome over one pair's alternating rounds (see `estimate`).
-    * `windows` = the window estimates the median actually used; `rejected` =
-    * physically-impossible (>1.0) windows; `suspect` = steal-contaminated
-    * windows (per-side best more than `suspectInfl` slower than the
-    * session's best for that side); `usedSuspect` = true when no clean
-    * window existed and the median fell back to the suspect ones.
+    * `raw` = the session floor ratio (per-side best tps, the headline);
+    * `windowMedian` = the median over the windows the dispersion audit
+    * actually accepted; `windows` = those accepted window estimates;
+    * `rejected` = physically-impossible (>1.0) estimates — junk windows,
+    * plus the floor ratio itself when it exceeds 1.0; `suspect` =
+    * steal-contaminated windows (per-side best more than `suspectInfl`
+    * slower than the session's best for that side); `usedSuspect` = true
+    * when no clean window existed — the floors are then uncorroborated by
+    * any calm stretch and the artifact is flagged.
     */
   private[graft] final case class Estimate(raw: Double, eff: Double,
+                                           windowMedian: Double,
                                            windows: Seq[Double],
                                            rejected: Seq[Double],
                                            suspect: Seq[Double],
@@ -104,33 +111,43 @@ object Bench {
     *
     * `all` = every alternating (tpsSmall, tpsBig) round INCLUDING the
     * leading warmup round; `reps` = scored rounds per in-session window.
-    * Per window the estimate is max(paired-round median if ≥5 rounds, ratio
-    * of window bests) — both downward-biased under steal that lands on the
-    * BIG side's wide barriers. But steal that lands on the SMALL side
-    * INFLATES the ratio, and an N→4N efficiency above 1.0 is physically
-    * impossible — so any window whose raw estimate exceeds 1.0 is REJECTED
-    * (listed in `rejected`, never averaged in; round-4 verdict item 1: the
-    * driver artifact's fused windows [0.876, 1.295] medianed to a junk
-    * 1.086). raw = proper median of the accepted windows; when EVERY window
-    * is impossible, raw = the least-impossible (minimum) rejected value and
-    * `rejected` flags the artifact. eff = min(raw, 1.0) always.
     *
-    * STEAL-SUSPECT windows (round 5): host steal is bursty on 10-20 minute
-    * scales — a round-5 validation run saw the pipeline pair read 0.658
-    * under a 20-minute steal stretch while the fused barometer, measured
-    * ten minutes LATER, read a calm 0.893, so an out-of-phase barometer
-    * cannot qualify this pair's stretch. The pair carries its own in-phase
-    * signal instead: every rep of a side samples the same job on the same
-    * input, so the session's best tps per side is the side's demonstrated
-    * floor, and a window whose per-side best is more than `suspectInfl`
-    * slower than that floor (default 1.15×; calm-epoch within-session
-    * spread measures ≤1.10×) ran under contamination. The check is
-    * SYMMETRIC — small-side steal inflates the ratio, big-side steal
-    * deflates it — so it guards both directions. Suspect windows are
-    * excluded from the median whenever at least one clean window exists
-    * (and `runPair` re-runs replacements within budget); when EVERY window
-    * is suspect the median falls back to them with `usedSuspect = true`,
-    * flagging the artifact instead of silently publishing.
+    * HEADLINE = the SESSION FLOOR RATIO: floorBig / (4 × floorSmall) where
+    * each floor is the best tps that side reached anywhere in the session,
+    * warmup round included. Every rep of a side runs the same deterministic
+    * job on the same input, so all timing deviation is additive
+    * contamination (host steal, GC, residual JIT) — a rep can run slower
+    * than the engine, never faster. min-time (= max-tps) over reps is
+    * therefore the estimator of the uncontaminated time, per side, and the
+    * floor ratio is the unique estimate consistent with that model. The
+    * per-window median used through round 4 is biased DOWN by two effects
+    * the floor ratio is immune to, both visible in round-5 validation run 3
+    * (rep_sec [115.7,36.1] [110.5,47.6] [110.2,35.9] [104.2,32.1]
+    * [104.7,33.1]): the 104-second serial side keeps warming monotonically
+    * across all five reps (early windows inflate its time), and a steal
+    * burst hit one p4 rep inside an otherwise-accepted window — windows
+    * medianed to 0.790 while the converged floors read 0.812.
+    *
+    * WINDOWS remain as the dispersion/contamination audit that qualifies
+    * the floors. Any window whose bests-ratio exceeds 1.0 is REJECTED
+    * (physically impossible — round-4 verdict item 1: steal on the SMALL
+    * side inflates the ratio; the driver artifact's fused windows
+    * [0.876, 1.295] medianed to a junk 1.086). A window whose per-side best
+    * is more than `suspectInfl` slower than the session floor (default
+    * 1.15×; calm-epoch within-session spread measures ≤1.10×) is
+    * STEAL-SUSPECT — host steal is bursty on 10-20 minute scales, and a
+    * round-5 validation run saw the pipeline pair read 0.658 under a
+    * 20-minute stretch while the fused barometer, measured ten minutes
+    * later, read a calm 0.893, so only an in-phase signal can qualify the
+    * pair. The check is SYMMETRIC: small-side steal inflates the ratio,
+    * big-side steal deflates it. Rejected and suspect windows trigger
+    * replacement rounds in `runPair` within budget — which also refine the
+    * floors. `windowMedian` = median over clean windows (falling back to
+    * suspect ones with `usedSuspect = true` when no clean window exists —
+    * the floors are then uncorroborated by any calm stretch and the
+    * artifact is flagged). When the floor ratio itself exceeds 1.0 (the
+    * small side never ran clean), it is appended to `rejected` and eff is
+    * capped.
     *
     * Invariant (enforced by construction, pinned by BenchSpec): eff ≤ 1.0,
     * every value in `windows` ≤ 1.0, and raw ≤ 1.0 unless `rejected` is
@@ -141,11 +158,8 @@ object Bench {
     // the first alternating round is paired warmup (residual JIT/cache
     // effects consistently depress it)
     val scored = if (all.size > 1) all.drop(1) else all
-    def est(w: Seq[(Double, Double)]): Double = {
-      val bests = w.map(_._2).max / (4.0 * w.map(_._1).max)
-      val ratios = w.map { case (ta, tb) => tb / (4.0 * ta) }
-      if (ratios.size >= 5) math.max(median(ratios), bests) else bests
-    }
+    def est(w: Seq[(Double, Double)]): Double =
+      w.map(_._2).max / (4.0 * w.map(_._1).max)
     // deadline-trimmed sessions can leave a trailing undersized window;
     // merge it into the previous one instead of discarding its rounds
     val groups0 = scored.grouped(reps).toVector
@@ -161,20 +175,24 @@ object Bench {
     // faster than the engine's floor, so it can only tighten the bound)
     val floorSmall = all.map(_._1).max
     val floorBig = all.map(_._2).max
+    val floorRatio = floorBig / (4.0 * floorSmall)
     def isSuspect(w: Seq[(Double, Double)]): Boolean =
       w.map(_._1).max * suspectInfl < floorSmall ||
         w.map(_._2).max * suspectInfl < floorBig
     val ests = winGroups.map(w => (est(w), isSuspect(w)))
     val (rejectedE, okE) = ests.partition(_._1 > 1.0)
-    val rejected = rejectedE.map(_._1)
+    val rejectedW = rejectedE.map(_._1)
     val (suspectE, cleanE) = okE.partition(_._2)
     val suspect = suspectE.map(_._1)
     val (used, usedSuspect) =
       if (cleanE.nonEmpty) (cleanE.map(_._1), false)
       else if (suspect.nonEmpty) (suspect, true)
       else (Vector.empty[Double], false)
-    val raw = if (used.nonEmpty) median(used) else rejected.min
-    Estimate(raw, math.min(raw, 1.0), used, rejected, suspect, usedSuspect,
+    val windowMedian = if (used.nonEmpty) median(used) else rejectedW.min
+    val rejected =
+      if (floorRatio > 1.0) rejectedW :+ floorRatio else rejectedW
+    Estimate(floorRatio, math.min(floorRatio, 1.0), windowMedian,
+      used, rejected, suspect, usedSuspect,
       roundsScored = math.max(all.size - 1, 0))
   }
 
@@ -275,9 +293,10 @@ object Bench {
     * machine conditions — host CPU steal here is bursty on the scale of
     * minutes, and levels timed minutes apart are not comparable.
     *
-    * Scoring: see `estimate` — per-window max(paired-round median if ≥5
-    * rounds, ratio of bests), physically-impossible (>1.0) windows rejected,
-    * proper MEDIAN across accepted windows, reported value capped at 1.0.
+    * Scoring: see `estimate` — headline = session floor ratio (per-side
+    * best tps over all reps), windows kept as the dispersion audit:
+    * physically-impossible (>1.0) windows rejected, steal-suspect windows
+    * excluded from the window median, reported value capped at 1.0.
     *
     * `windows > 1` splits `windows`×`reps` scored rounds (after 1 paired
     * warmup round) into consecutive in-session time-windows, decorrelating
@@ -364,9 +383,11 @@ object Bench {
         f"[bench $job ${small}v$big] windows ${e.windows.map(x => f"$x%.3f").mkString(" ")} " +
           f"rejected ${e.rejected.map(x => f"$x%.3f").mkString(" ")} " +
           f"suspect ${e.suspect.map(x => f"$x%.3f").mkString(" ")}${if (e.usedSuspect) " (USED: no clean window)" else ""} " +
-          f"-> raw ${e.raw}%.3f reported ${e.eff}%.3f " +
+          f"window median ${e.windowMedian}%.3f " +
+          f"-> floor-ratio raw ${e.raw}%.3f reported ${e.eff}%.3f " +
           f"(round ratios ${all.map { case (ta, tb) => f"${tb / (4.0 * ta)}%.3f" }.mkString(" ")}, first = warmup)")
-      PairResult(a.best, b.best, e.eff, e.raw, e.windows, e.rejected,
+      PairResult(a.best, b.best, e.eff, e.raw, e.windowMedian,
+        e.windows, e.rejected,
         e.suspect, e.usedSuspect,
         e.roundsScored, e.warmupOnly, secs.toSeq, reps)
     } finally { a.close(); b.close() }
@@ -448,14 +469,18 @@ object Bench {
     var pipe28: Option[PairResult] = None
     val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
 
-    // the per-pair audit block: accepted + rejected windows, scored-round
-    // count, warmup-only flag, and every round's (small, big) rep seconds —
-    // the record is auditable without stderr (round-4 verdict item 1c).
-    // By `estimate`'s construction eff <= 1.0, every eff_windows value
-    // <= 1.0, and raw <= 1.0 unless rejected_windows is non-empty — the
-    // artifact never carries an unexplained >1.0 figure (BenchSpec pins it).
+    // the per-pair audit block: window median, accepted + rejected +
+    // suspect windows, scored-round count, warmup-only flag, and every
+    // round's (small, big) rep seconds — the record is auditable without
+    // stderr (round-4 verdict item 1c): the floors behind the headline are
+    // the per-side min of rep_sec, and every window estimate re-derives
+    // from consecutive rep_sec groups. By `estimate`'s construction
+    // eff <= 1.0, every eff_windows value <= 1.0, and raw <= 1.0 unless
+    // rejected_windows is non-empty — the artifact never carries an
+    // unexplained >1.0 figure (BenchSpec pins it).
     def pairFields(p: PairResult, sfx: String): String =
-      s""""eff_windows$sfx":[${p.windows.map(e => f"$e%.3f").mkString(",")}],""" +
+      f""""eff_window_median$sfx":${p.windowMedian}%.3f,""" +
+        s""""eff_windows$sfx":[${p.windows.map(e => f"$e%.3f").mkString(",")}],""" +
         s""""rejected_windows$sfx":[${p.rejected.map(e => f"$e%.3f").mkString(",")}],""" +
         s""""suspect_windows$sfx":[${p.suspect.map(e => f"$e%.3f").mkString(",")}],""" +
         s""""used_suspect$sfx":${p.usedSuspect},""" +
@@ -486,10 +511,12 @@ object Bench {
             f""""efficiency":${p.eff}%.3f,"efficiency_raw":${p.raw}%.3f,""" +
             pairFields(p, "") + s832 +
             s""""isolation":"fresh JVM per level, GC threads = cores, taskset-pinned; """ +
-            s"""alternating paired reps; per-window max(paired-round median if >=5 rounds, """ +
-            s"""ratio of bests), windows with raw ratio > 1.0 REJECTED and re-run within """ +
-            s"""budget, MEDIAN across accepted windows, reported value capped at 1.0 """ +
-            s"""(raw alongside) - see BENCH.md"},"""
+            s"""alternating paired reps; efficiency = session floor ratio (per-side best """ +
+            s"""tps over all reps - same deterministic job each rep, so timing noise is """ +
+            s"""additive contamination and min-time estimates the uncontaminated time), """ +
+            s"""capped at 1.0 (raw alongside); windows emitted as the dispersion audit, """ +
+            s""">1.0 windows REJECTED, steal-suspect windows excluded and re-run within """ +
+            s"""budget - see BENCH.md"},"""
         case None => """"scaling":null,"""
       }
       val pipeJson = pipe14 match {

@@ -10,6 +10,12 @@ import org.scalatest.funsuite.AnyFunSuite
   * [0.876, 1.295] were MEDIANED into raw 1.086 instead of the 1.295 window
   * being rejected (steal on the SMALL side inflates the ratio — a physically
   * impossible N→4N reading, not a measurement).
+  *
+  * Round 5: the headline is the SESSION FLOOR RATIO — per-side best tps over
+  * all reps (every rep runs the same deterministic job on the same input, so
+  * timing noise is additive contamination and min-time per side estimates
+  * the uncontaminated time). Windows remain as the dispersion audit
+  * (`windowMedian`/`windows`/`rejected`/`suspect`).
   */
 class BenchSpec extends AnyFunSuite {
 
@@ -24,49 +30,72 @@ class BenchSpec extends AnyFunSuite {
     assert(e.windows.forall(_ <= 1.0), s"accepted window > 1.0: ${e.windows}")
     assert(e.raw <= 1.0 || e.rejected.nonEmpty,
       s"raw ${e.raw} > 1.0 without a rejected_windows explanation")
-    assert(e.rejected.forall(_ > 1.0), s"rejected a possible window: ${e.rejected}")
+    assert(e.rejected.forall(_ > 1.0), s"rejected a possible value: ${e.rejected}")
     assert(e.suspect.forall(_ <= 1.0), s"suspect window > 1.0: ${e.suspect}")
-    // the median never silently blends suspect windows into clean ones:
-    // either it used only clean windows, or it fell back to only suspect
-    // ones and said so
+    // the window median never silently blends suspect windows into clean
+    // ones: either it used only clean windows, or it fell back to only
+    // suspect ones and said so
     if (e.usedSuspect) assert(e.windows == e.suspect)
   }
 
   test("physically-impossible (>1.0) window is rejected, not medianed in") {
-    // warmup + window1 at 0.85 + window2 where a steal burst deflated the
-    // SMALL side (ratio 1.30) — exactly the round-4 driver artifact's shape
+    // warmup + clean window at ~0.85 + window where a steal burst slowed the
+    // SMALL side ~30% (big side unchanged — ratio reads ~1.22): exactly the
+    // round-4 driver artifact's shape
     val all = Seq(round(900, 0.80),
       round(1000, 0.86), round(1010, 0.84),
-      round(700, 1.31), round(705, 1.29))
+      (700.0, 3430.0), (705.0, 3445.0))
     val e = Bench.estimate(all, reps = 2)
     invariant(e)
     assert(e.rejected.size == 1 && e.rejected.head > 1.0)
-    assert(e.windows.size == 1 && math.abs(e.windows.head - 0.86) < 0.01)
-    assert(e.raw == e.windows.head, "raw must be the accepted window, not a blend")
+    assert(e.windows.size == 1 && math.abs(e.windows.head - 0.8515) < 0.001)
+    // headline = floor ratio: floorSmall 1010, floorBig 3445
+    assert(math.abs(e.raw - 3445.0 / (4.0 * 1010.0)) < 1e-12)
+    assert(e.eff == e.raw)
     assert(e.roundsScored == 4 && !e.warmupOnly)
   }
 
-  test("all windows impossible: raw = least-impossible, eff capped, flagged") {
+  test("small side stole EVERY scored round: floors (via warmup) recover, junk windows flagged") {
+    // both scored windows read >1.0 because the small side never ran clean
+    // after warmup — but the warmup round demonstrated small=900, so the
+    // session floors still yield a sane 0.833 while both windows land in
+    // rejected, flagging the artifact's dispersion as junk.
     val all = Seq(round(900, 0.8),
       round(600, 1.25), round(610, 1.22),
       round(650, 1.10), round(660, 1.12))
     val e = Bench.estimate(all, reps = 2)
     invariant(e)
     assert(e.windows.isEmpty && e.rejected.size == 2)
-    assert(e.eff == 1.0 && e.raw > 1.0)
-    assert(math.abs(e.raw - e.rejected.min) < 1e-12)
+    assert(math.abs(e.raw - 3000.0 / (4.0 * 900.0)) < 1e-12)
+    assert(e.eff == e.raw)
+    assert(e.windowMedian > 1.0) // the junk dispersion is visible, not blended
+  }
+
+  test("floor ratio itself impossible: capped, appended to rejected") {
+    // the small side NEVER ran clean, warmup included — the floor ratio
+    // exceeds 1.0, eff is capped, and the floor ratio itself is listed in
+    // rejected so the artifact carries no unexplained >1.0 figure.
+    val all = Seq((600.0, 3000.0),
+      (610.0, 2990.0), (605.0, 3010.0),
+      (615.0, 2995.0), (600.0, 3005.0))
+    val e = Bench.estimate(all, reps = 2)
+    invariant(e)
+    assert(e.raw > 1.0 && e.eff == 1.0)
+    assert(e.rejected.contains(e.raw))
   }
 
   test("replacement window restores a clean two-window median") {
-    // window2 junk, window3 is the re-run replacement
+    // window2 junk (small-side steal, big unchanged), window3 is the re-run
     val all = Seq(round(900, 0.8),
       round(1000, 0.86), round(1010, 0.84),
-      round(700, 1.31), round(705, 1.29),
+      (700.0, 3430.0), (705.0, 3445.0),
       round(995, 0.88), round(1005, 0.82))
     val e = Bench.estimate(all, reps = 2)
     invariant(e)
     assert(e.windows.size == 2 && e.rejected.size == 1)
-    // median of two accepted bests-ratio windows
+    assert(e.windowMedian <= 1.0 && e.windowMedian > 0.8)
+    // floors: small 1010, big 3502.4 (the 0.88 rep of the replacement)
+    assert(math.abs(e.raw - 3502.4 / (4.0 * 1010.0)) < 1e-9)
     assert(e.raw <= 1.0 && e.raw > 0.8)
   }
 
@@ -74,6 +103,7 @@ class BenchSpec extends AnyFunSuite {
     val e = Bench.estimate(Seq(round(1000, 0.75)), reps = 2)
     invariant(e)
     assert(e.roundsScored == 0 && e.warmupOnly)
+    assert(math.abs(e.raw - 0.75) < 1e-12)
   }
 
   test("single scored round: scored, not warmup-only") {
@@ -98,7 +128,8 @@ class BenchSpec extends AnyFunSuite {
     // run-2 shape (round-5 validation): a sustained steal stretch slowed the
     // BIG side 20-30% below its session floor, deflating the ratio to ~0.65
     // while the small side stayed calm. With one clean window present the
-    // suspect window must be excluded from the median, not averaged in.
+    // suspect window must be excluded from the window median, not averaged
+    // in — and the floors come from the clean stretch.
     val all = Seq(round(900, 0.80),
       round(1000, 0.86), round(1010, 0.84),       // clean window (floorBig 3440)
       round(1000, 0.64), round(1005, 0.66))       // big bests ≤ 2653 — >15% below floor
@@ -106,7 +137,8 @@ class BenchSpec extends AnyFunSuite {
     invariant(e)
     assert(e.suspect.size == 1 && e.suspect.head < 0.7)
     assert(!e.usedSuspect && e.windows.size == 1 && e.windows.head > 0.8)
-    assert(e.raw == e.windows.head)
+    assert(e.raw == e.windows.head) // floors live in the clean window here
+    assert(e.windowMedian == e.windows.head)
   }
 
   test("small-side steal that stays below 1.0 is still suspect-excluded (symmetric)") {
@@ -120,19 +152,42 @@ class BenchSpec extends AnyFunSuite {
     invariant(e)
     assert(e.suspect.size == 1 && e.suspect.head > 0.9)
     assert(!e.usedSuspect && e.windows.size == 1 && e.windows.head < 0.85)
+    assert(e.raw == e.windows.head)
   }
 
-  test("all windows suspect: median falls back to them with usedSuspect flagged") {
+  test("all windows suspect: floors rest on warmup alone and usedSuspect flags it") {
     // a fast warmup pins the floors; every scored window then runs slow on
-    // the big side — there is no clean window, so the estimator must still
-    // publish (the fallback median) but flag the artifact.
+    // the big side — there is no clean window corroborating the floors, so
+    // the estimator still publishes the floor ratio but flags the artifact.
     val all = Seq((1200.0, 4.0 * 1200.0 * 0.85),
       round(1180, 0.60), round(1190, 0.62),
       round(1185, 0.58), round(1175, 0.61))
     val e = Bench.estimate(all, reps = 2)
     invariant(e)
     assert(e.usedSuspect && e.suspect.size == 2 && e.windows == e.suspect)
-    assert(e.raw < 0.7 && e.eff == e.raw)
+    assert(math.abs(e.raw - 0.85) < 1e-9) // warmup-pinned floors
+    assert(e.windowMedian < 0.7)          // the contaminated dispersion, visible
+    assert(e.eff == e.raw)
+  }
+
+  test("warmup drift on the long-rep side: floor ratio recovers the converged value") {
+    // round-5 validation run 3, verbatim rep_sec: the 104-second serial side
+    // keeps warming monotonically across all five reps (115.7 → 104.2 s)
+    // while one p4 rep inside the first scored window took a steal burst
+    // (47.6 s vs the 32.1 s floor). Window medians mix the under-warmed p1
+    // reps with the steal-hit p4 rep and read 0.790; the converged floors
+    // read 0.812. Both biases are additive contamination — the floor ratio
+    // is immune to them by construction.
+    val secs = Seq((115.71, 36.10), (110.53, 47.57), (110.16, 35.91),
+      (104.17, 32.07), (104.74, 33.09))
+    val all = secs.map { case (s, b) => (1e6 / s, 1e6 / b) }
+    val e = Bench.estimate(all, reps = 2)
+    invariant(e)
+    assert(e.rejected.isEmpty && e.suspect.isEmpty)
+    assert(math.abs(e.raw - 104.17 / (4.0 * 32.07)) < 1e-9) // 0.8120
+    assert(e.raw > 0.81 && e.raw < 0.814)
+    assert(e.windowMedian < 0.80 && e.windowMedian > 0.78)  // 0.789 — the bias
+    assert(e.eff == e.raw)
   }
 
   test("invariant holds across randomized steal traces") {
