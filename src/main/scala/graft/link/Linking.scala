@@ -48,11 +48,12 @@ object Linking {
     import spark.implicits._
     // alias count grows with the corpus (Heaps' law), so the id assignment is
     // a range-partitioned global row number, not a single-partition window,
-    // and the normalizer is a broadcast scalar, not a driver action
-    graft.functions.Ranks.withTotal(
-      graft.functions.Ranks.globalRowNumber(
-        counts, Seq(col("freq").desc, col("alias").asc), "__rn"),
-      sum("freq"), "__total")
+    // and the normalizer is a broadcast scalar, not a driver action. The
+    // fused rank+total form pays one broadcast build instead of two — each
+    // small job's driver round-trip dominates dictionary-sized stages
+    graft.functions.Ranks.globalRowNumberWithTotal(
+      counts, Seq(col("freq").desc, col("alias").asc), col("freq"),
+      "__rn", "__total")
       .select(col("alias"), (col("__rn") - 1).as("entity_id"), col("freq"),
         (col("freq") / col("__total")).as("prob"))
       .as[AliasEntry]

@@ -174,28 +174,39 @@ object KgPipeline {
 
     // (B) is_ok_sdp rule 1 input: corpus-wide endpoint frequencies —
     // dictionary-sized rollup of the pair table (a triple with subj==obj
-    // still counts that surface twice, as in the staged pipeline)
-    val endpointCounts = pairCounts.select(col("subj").as("surface"), col("n"))
-      .unionAll(pairCounts.select(col("obj").as("surface"), col("n")))
-    // vocab is referenced by two broadcast builds; materialized once so each
-    // build scans the tiny leaf instead of re-aggregating the pair table
-    val vocab = endpointCounts
+    // still counts that surface twice, as in the staged pipeline). The
+    // endpoint multiset is built by EXPLODING each pair row into its two
+    // endpoints instead of unioning two projections of the pair table: the
+    // union form scans the leaf twice and plans two aggregation arms — and
+    // exchange reuse cannot dedupe across these checkpoint leaves (a
+    // LogicalRDD that preserves its shuffle's HashPartitioning defeats
+    // canonical plan equality, measured: every broadcast subtree built
+    // per-reference), so single-reference plans are the reliable form.
+    val endpointCounts = pairCounts
+      .select(explode(array(col("subj"), col("obj"))).as("surface"), col("n"))
+    // vocab is referenced by two broadcast builds (one per semi-join side);
+    // materialized once so each build scans the tiny leaf instead of
+    // re-aggregating the pair table. Each semi-join side gets a FRESH
+    // structurally-identical Project instance over the leaf: fresh instances
+    // canonicalize equal and ReuseExchange collapses them to one broadcast
+    // build, while referencing the same val twice defeats the reuse
+    // (measured on the dictionary-broadcast pair below).
+    val vocabCkpt = endpointCounts
       .groupBy("surface").agg(sum("n").as("cnt"))
-      .filter(col("cnt") >= vocabMinCount).select("surface")
+      .filter(col("cnt") >= vocabMinCount)
+      .select(col("surface").as("__vs"))
       .localCheckpoint(eager = true)
+    def vocab = vocabCkpt.select(col("__vs"))
 
     // (C) alias frequency over the GATED stream (matches `run`: the
     // dictionary ranks what survives the vocab gate), computed from gated
     // PAIRS weighted by n — identical multiset to re-scanning the stream.
     // Explicit broadcast: vocab sits behind the persist boundary, so the
     // planner has no stats; unhinted this degrades to shuffle joins.
-    val gatedPairs = pairCounts
-      .join(broadcast(vocab.withColumnRenamed("surface", "__xs")),
-        col("subj") === col("__xs"), "left_semi")
-      .join(broadcast(vocab.withColumnRenamed("surface", "__ys")),
-        col("obj") === col("__ys"), "left_semi")
-    val gatedCounts = gatedPairs.select(col("subj").as("alias"), col("n"))
-      .unionAll(gatedPairs.select(col("obj").as("alias"), col("n")))
+    val gatedCounts = pairCounts
+      .join(broadcast(vocab), col("subj") === col("__vs"), "left_semi")
+      .join(broadcast(vocab), col("obj") === col("__vs"), "left_semi")
+      .select(explode(array(col("subj"), col("obj"))).as("alias"), col("n"))
       .groupBy("alias").agg(sum("n").as("freq"))
       .localCheckpoint(eager = true)
     val aliasDict = Linking.buildAliasDictFromCounts(gatedCounts).toDF()
@@ -232,7 +243,11 @@ object KgPipeline {
     // (D) output pass: re-extract, then gate + link + canonicalize in one
     // narrow stage (two broadcast hash joins; the dictionary side outgrows
     // broadcast on extreme corpora — Linking.saltedLeftJoin is the
-    // degradation path, as in the staged pipeline)
+    // degradation path, as in the staged pipeline). The rename-per-side form
+    // pays two broadcast builds of the dictionary-sized table; a
+    // shared-subtree form that reuses one build was MEASURED SLOWER overall
+    // (pass-2 task CPU +30% — the extra mid-join projection and relation
+    // dedup outweigh one small build), so two builds it is.
     Extract.triplesFused(docs).toDF()
       .join(dictCanon.withColumnRenamed("alias", "s_alias")
         .withColumnRenamed("canon_id", "subj_id"), col("subj") === col("s_alias"))

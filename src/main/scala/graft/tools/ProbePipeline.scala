@@ -36,7 +36,10 @@ object ProbePipeline {
       override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         starts(j.jobId) = j.time
         val gap = if (lastEnd.get == 0) 0 else j.time - lastEnd.get
-        System.err.println(f"  [job ${j.jobId}%3d start] gap=${gap}%5d ms  t=${j.time - t00.get}%6d")
+        val site = Option(j.properties)
+          .map(p => Option(p.getProperty("callSite.short")).getOrElse("") + " | " +
+            Option(p.getProperty("spark.job.description")).getOrElse("")).getOrElse("")
+        System.err.println(f"  [job ${j.jobId}%3d start] gap=${gap}%5d ms  t=${j.time - t00.get}%6d  ${site.take(90)}")
       }
       override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
         lastEnd.set(j.time)
