@@ -486,6 +486,9 @@ object Bench {
     var fused832: Option[PairResult] = None
     var pipe14: Option[PairResult] = None
     var pipe28: Option[PairResult] = None
+    // headline-only p32 probe (phase 4b): fills the kg headline when the
+    // 8→32 pair is skipped by the leftover-budget rule
+    var kgProbe: Option[KgStats] = None
     val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
 
     // the per-pair audit block: window median, accepted + rejected +
@@ -511,13 +514,18 @@ object Bench {
       val qs = qResults.map { case (k, v, _) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
       val errs = qResults.collect { case (k, _, false) => "\"" + k + "\"" }.mkString("[", ",", "]")
       val total = qResults.collect { case (_, v, true) => v }.sum
-      // headline = the biggest fused level that actually ran
-      val headline: Option[(KgStats, Int)] =
-        fused832.map(p => (p.big, 32)).orElse(fused416.map(p => (p.big, 16)))
+      // headline = the biggest fused level that actually ran; the p32
+      // headline probe (phase 4b) outranks the p16 pair side and carries a
+      // "probe":true marker since no scaling claim attaches to it
+      val headline: Option[(KgStats, Int, Boolean)] =
+        fused832.map(p => (p.big, 32, false))
+          .orElse(kgProbe.map(h => (h, 32, true)))
+          .orElse(fused416.map(p => (p.big, 16, false)))
       val kgJson = headline match {
-        case Some((h, c)) =>
+        case Some((h, c, probe)) =>
           f""""kg":{"docs":${h.docs},"triples":${h.triples},"sec":${h.bestSec}%.3f,""" +
-            f""""triples_per_sec":${h.tps}%.1f,"cores":$c},"""
+            f""""triples_per_sec":${h.tps}%.1f,"cores":$c""" +
+            (if (probe) ""","probe":true},""" else "},")
         case None => """"kg":null,"""
       }
       val scalingJson = fused416 match {
@@ -665,8 +673,9 @@ object Bench {
         // engine's validated calm band) refine only on real slack (>950 s
         // keeps the barometer AND the fused 8→32 headline phase viable);
         // with an endangered reading, sacrifice the 8→32 phase (the kg
-        // headline then falls back to p16) and refine while >700 s remain —
-        // the north rule's pair owns the budget (round-5 protocol).
+        // headline then comes from the ~90 s p32 probe, phase 4b) and
+        // refine while >700 s remain — the north rule's pair owns the
+        // budget (round-5 protocol).
         pipe14 = Some(runPair(1, 0, 4, 4, pipeRepl, pipeReps, job = "pipeline",
           windows = 2, corpus = ensurePipeCorpus(),
           stopEarly = () => remaining < 350,
@@ -713,6 +722,29 @@ object Bench {
           stopEarly = () => remaining < 140, suspectInfl = 1.25))
         System.err.println(f"[bench] fused 8v32 done at $elapsed%.0f s")
       } else skipped += "fused_8_32"
+
+      // ---- phase 4b: headline-only p32 probe ----
+      // When the 8→32 pair was skipped (or died before scoring a rep), the
+      // kg headline would fall back to the 4→16 pair's p16 side — r5-1
+      // shipped that trade. A single pinned 32-core level (1 discarded
+      // warmup + up to 2 timed reps, ~90 s incl. spin-up) restores the
+      // full-machine headline without the pair's cost; no scaling claim
+      // attaches to it ("probe":true in the kg block).
+      if (fused832.isEmpty && remaining > 200) {
+        val l = new Level(32, repl, 0, "fused", Nil)
+        try {
+          l.awaitReady()
+          l.runRep("headline-warmup")
+          val warm = l.best
+          var r = 0
+          while (r < 2 && remaining > 60) { l.runRep("headline"); r += 1 }
+          // keep the warmup-only discipline: discard if no timed rep ran
+          if (r > 0) kgProbe = Some(l.best)
+          else System.err.println(
+            f"[bench] headline probe warmup-only (${warm.tps}%.0f tps) — discarded")
+          System.err.println(f"[bench] headline p32 probe done at $elapsed%.0f s")
+        } finally l.close()
+      }
 
       // ---- phase 5: pipeline 2→8, the saturated-socket bound ----
       if (remaining > 400) {
