@@ -29,6 +29,8 @@ import org.apache.spark.sql.SparkSession
   * with wider error bars beats a perfect protocol that never reports.
   *
   * Round-5 robustness (round-4 verdict items 1-2): phase order is queries →
+  * EARLY p32 headline probe (~40-60 s — the BASELINE.md headline metric must
+  * never depend on what budget the scaling phases leave) →
   * pipeline 1→4 with FULL-scale warmup (the north rule's named job OWNS the
   * budget and runs first among the scaling phases: a round-5 validation run
   * that kept it second entered the phase with 811 s remaining and its
@@ -44,7 +46,12 @@ import org.apache.spark.sql.SparkSession
   * accepted + rejected windows, scored-round count, warmup-only flag, and
   * per-round rep seconds, so the one-shot driver artifact is auditable
   * stand-alone and never carries an unexplained >1.0 figure (`estimate`
-  * invariant, pinned by BenchSpec).
+  * invariant, pinned by BenchSpec). After each pair's rounds, cheap
+  * SINGLE-SIDE floor-convergence draws (see `estimate`) tighten whichever
+  * side's floor has not yet been demonstrated twice within tolerance —
+  * budget-gated per side, since a 1→4 pipeline pair's 4N draw costs a
+  * quarter of a full round and is exactly what a deadline-trimmed session
+  * can still afford.
   */
 object Bench {
 
@@ -75,7 +82,9 @@ object Bench {
     * a measurement); `repSec` every round's (small, big) rep seconds so the
     * artifact is auditable without stderr; `roundsScored`/`warmupOnly` mark
     * estimates that rest on nothing but the discarded-by-protocol warmup
-    * round (ADVICE round 4).
+    * round (ADVICE round 4); `convSmallSec`/`convBigSec` the rep seconds of
+    * single-side floor-convergence draws (see `estimate` — they enter the
+    * floors, never the windows).
     */
   case class PairResult(small: KgStats, big: KgStats,
                         eff: Double, raw: Double, windowMedian: Double,
@@ -83,7 +92,9 @@ object Bench {
                         rejected: Seq[Double], suspect: Seq[Double],
                         usedSuspect: Boolean, roundsScored: Int,
                         warmupOnly: Boolean, repSec: Seq[(Double, Double)],
-                        repsPerWindow: Int)
+                        repsPerWindow: Int,
+                        convSmallSec: Seq[Double] = Nil,
+                        convBigSec: Seq[Double] = Nil)
 
   /** Estimator outcome over one pair's alternating rounds (see `estimate`).
     * `raw` = the session floor ratio (per-side best tps, the headline);
@@ -149,12 +160,29 @@ object Bench {
     * small side never ran clean), it is appended to `rejected` and eff is
     * capped.
     *
+    * FLOOR-CONVERGENCE EXTRAS (`extraSmall`/`extraBig`, round-5): tps of
+    * additional SINGLE-SIDE reps taken after the alternating rounds, spent
+    * on whichever side's floor had not converged (its two best reps more
+    * than `floorGap` tolerance apart). They enter the per-side floors ONLY
+    * — never the windows, whose paired-alternation semantics they lack.
+    * This cannot bias the estimator: each side's floor is an independent
+    * min-estimator of that side's uncontaminated time, every draw of a side
+    * can only move its floor TOWARD truth (noise is additive), and the
+    * alternation discipline exists for the window audit's comparability,
+    * not for the floors. The point is cost: on the 1→4 pipeline pair a
+    * 4N-side rep costs a quarter of a full round, and validation showed the
+    * short-rep side's floor still dropping at round 5 (best two reps 9%
+    * apart) while the long-rep side converged to 0.8% in two draws —
+    * convergence draws go where the variance is.
+    *
     * Invariant (enforced by construction, pinned by BenchSpec): eff ≤ 1.0,
     * every value in `windows` ≤ 1.0, and raw ≤ 1.0 unless `rejected` is
     * non-empty.
     */
   private[graft] def estimate(all: Seq[(Double, Double)], reps: Int,
-                              suspectInfl: Double = 1.15): Estimate = {
+                              suspectInfl: Double = 1.15,
+                              extraSmall: Seq[Double] = Nil,
+                              extraBig: Seq[Double] = Nil): Estimate = {
     // the first alternating round is paired warmup (residual JIT/cache
     // effects consistently depress it)
     val scored = if (all.size > 1) all.drop(1) else all
@@ -173,8 +201,8 @@ object Bench {
     // per-side demonstrated floor: the best tps each side reached anywhere
     // in the session, INCLUDING the warmup round (a warmup rep is never
     // faster than the engine's floor, so it can only tighten the bound)
-    val floorSmall = all.map(_._1).max
-    val floorBig = all.map(_._2).max
+    val floorSmall = (all.map(_._1) ++ extraSmall).max
+    val floorBig = (all.map(_._2) ++ extraBig).max
     val floorRatio = floorBig / (4.0 * floorSmall)
     def isSuspect(w: Seq[(Double, Double)]): Boolean =
       w.map(_._1).max * suspectInfl < floorSmall ||
@@ -207,8 +235,26 @@ object Bench {
     else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
 
+  /** Floor-convergence criterion for one side's rep throughputs: the
+    * relative gap between its two best (highest-tps) reps, `best/second - 1`
+    * — equivalently, how far the second-fastest rep's TIME sits above the
+    * fastest's. A min-estimator's value is only trustworthy once two
+    * independent draws land close to it; a side whose best rep stands alone
+    * (gap above tolerance) most likely has a floor still inflated by
+    * contamination, and one more draw of THAT side is the cheapest variance
+    * cut available. Fewer than two draws → infinite gap (unconverged by
+    * definition).
+    */
+  private[graft] def floorGap(tps: Seq[Double]): Double =
+    if (tps.size < 2) Double.MaxValue
+    else {
+      val s = tps.sortBy(x => -x)
+      s(0) / s(1) - 1.0
+    }
+
   /** One scaling level as a persistent child JVM shaped like an executor of
-    * that size: heap and young gen proportional to cores (pre-touched),
+    * that size: a 12 GiB pre-touched heap identical at every level (equal
+    * absolute heap + GC threads = cores is GC-fraction-fair — see `heapG`),
     * ParallelGC with GC threads = cores, and (when available) a taskset pin
     * to `cores` specific CPUs. In-JVM levels share one machine-sized
     * collector and a floating thread pool, which inflates small-N throughput
@@ -232,8 +278,25 @@ object Bench {
       case (a, i) if a == "--add-opens" => Seq(a, inArgs(i + 1))
       case (a, _) if a.startsWith("--add-opens=") => Seq(a)
     }.flatten
-    // p32's heap capped so a co-resident pair + the driver fit in RAM
-    private val heapG = math.min(40, math.max(8, (cores * 1.5).toInt))
+    // EQUAL-ABSOLUTE heap: every level gets the same 12 GiB, which is
+    // GC-FRACTION-FAIR under ParallelGCThreads=cores — a rep allocates the
+    // same total bytes at every level into the same young size, so both
+    // pair sides run the same NUMBER of minor GCs with the same per-GC
+    // survivor work, and that work parallelizes over exactly as many GC
+    // threads as the mutator has cores: GC is the same FRACTION of rep time
+    // at N and 4N and cancels in the ratio. (A per-core-proportional heap
+    // is NOT fair: it gives the big side a larger young gen, hence fewer
+    // GCs per allocated byte with more garbage dead per collection — an
+    // inflationary bias; the round-4 formula had the inverse, deflationary
+    // bias.) 12 GiB specifically because this host's anonymous-page
+    // zeroing has a measured cliff: AlwaysPreTouch of a ≤12 GiB heap costs
+    // 2–5 s, while 16 GiB costs 37–114 s, 24 GiB ~90–245 s and 32–40 GiB
+    // 232–331 s (idle box, repeated) — the old 8 GiB/core formula burned
+    // 300–500 s of session budget in silent spin-up page-zeroing, and a
+    // same-epoch A/B of the fused p32 job at 12/24/40 GiB showed heap size
+    // contributes nothing beyond that (best reps 9.98–11.3 s at 12 GiB vs
+    // 8.9 s at 40 GiB vs 14.7 s at 24 GiB — epoch noise dominates).
+    private val heapG = 12
     private val jvm = Seq(
       s"-Xmx${heapG}g", s"-Xms${heapG}g", s"-Xmn${heapG / 2}g",
       "-XX:+UseParallelGC", s"-XX:ParallelGCThreads=$cores",
@@ -326,7 +389,11 @@ object Bench {
                       extraGate: () => Boolean = () => false,
                       suspectInfl: Double = 1.15,
                       maxRefineRounds: Int = 0,
-                      refineGate: Estimate => Boolean = _ => false): PairResult = {
+                      refineGate: Estimate => Boolean = _ => false,
+                      convTol: Double = 0.03,
+                      maxConvReps: Int = 0,
+                      convGateSmall: () => Boolean = () => false,
+                      convGateBig: () => Boolean = () => false): PairResult = {
     val a = new Level(small, repl, smallPin, job, corpus)
     // overlapping pins (8|32 on a 32-core box) must warm up serially;
     // disjoint pins overlap their untimed warmups to save wall-clock
@@ -398,6 +465,36 @@ object Bench {
         refined += 1
         e = estimate(all.toSeq, reps, suspectInfl)
       }
+      // Single-side floor-convergence draws (round-5, see `estimate`): a
+      // side whose two best reps sit more than `convTol` apart has a floor
+      // most likely still inflated by contamination, and one more draw of
+      // that side alone — at a quarter of a full round's cost on the 1→4
+      // pair's 4N side — is the cheapest remaining variance cut for the
+      // headline. Per-side budget gates (NOT `stopEarly`, which guards
+      // full rounds and has typically already fired on a trimmed session —
+      // exactly when a cheap big-side draw is most valuable). Draws enter
+      // the floors only, never the windows.
+      val convS = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+      val convB = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+      var conv = 0
+      var convDone = false
+      while (conv < maxConvReps && !convDone) {
+        val gapS = floorGap(all.map(_._1).toSeq ++ convS.map(_._1))
+        val gapB = floorGap(all.map(_._2).toSeq ++ convB.map(_._1))
+        if (gapB > convTol && convGateBig()) {
+          System.err.println(f"[bench $job ${small}v$big] floor-convergence " +
+            f"draw p$big (gap ${gapB * 100}%.1f%% > ${convTol * 100}%.1f%%)")
+          convB += b.runRep(s"$job ${small}v$big floor-conv")
+        } else if (gapS > convTol && convGateSmall()) {
+          System.err.println(f"[bench $job ${small}v$big] floor-convergence " +
+            f"draw p$small (gap ${gapS * 100}%.1f%% > ${convTol * 100}%.1f%%)")
+          convS += a.runRep(s"$job ${small}v$big floor-conv")
+        } else convDone = true
+        conv += 1
+      }
+      if (convS.nonEmpty || convB.nonEmpty)
+        e = estimate(all.toSeq, reps, suspectInfl,
+          convS.map(_._1).toSeq, convB.map(_._1).toSeq)
       System.err.println(
         f"[bench $job ${small}v$big] windows ${e.windows.map(x => f"$x%.3f").mkString(" ")} " +
           f"rejected ${e.rejected.map(x => f"$x%.3f").mkString(" ")} " +
@@ -408,7 +505,8 @@ object Bench {
       PairResult(a.best, b.best, e.eff, e.raw, e.windowMedian,
         e.windows, e.rejected,
         e.suspect, e.usedSuspect,
-        e.roundsScored, e.warmupOnly, secs.toSeq, reps)
+        e.roundsScored, e.warmupOnly, secs.toSeq, reps,
+        convS.map(_._2).toSeq, convB.map(_._2).toSeq)
     } finally { a.close(); b.close() }
   }
 
@@ -431,15 +529,21 @@ object Bench {
     // windows of 3 scored rounds (bests-ratio form — below the 5-round
     // median threshold) keep the phase near ~6 min
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    // pipeline pair: KEEP 1024× replication — a round-4 trial at 256× showed
-    // the per-rep fixed driver latency (~3-4 s of dictionary/CC job
-    // round-trips, identical at both levels) eating ~24% of the 4N side's
-    // rep but only ~9% of the N side's, deflating the ratio to 0.62 by pure
-    // Amdahl (BENCH.md). The budget is cut instead by fewer rounds
-    // (2 windows × 2), a parent-built corpus snapshot (a 1-core level
-    // writing the 1024× corpus serially cost minutes of spin-up), and the
-    // deadline guard.
-    val pipeRepl = sys.env.getOrElse("SPARK_GRAFT_BENCH_PIPE_REPL", "1024").toInt
+    // pipeline pair: 2048× replication (round 5; was 1024×). A job-level
+    // probe at p4/1024× decomposes a rep into two corpus-scale stages
+    // (~0.4 s task imbalance on 122 tasks — negligible) plus a ~4.2 s FIXED
+    // serial term: ~16 dictionary/CC jobs and their driver gaps, identical
+    // at both levels. By the same t = F + p/N fit that moved the fused pair
+    // to 4096× (BENCH.md), that term costs the 1→4 ratio ~4 efficiency
+    // points at 1024× (F is ~13% of a ~32 s p4 rep vs ~4% of a p1 rep) and
+    // ~2 at 2048× — and a round-4 trial at 256× measured the same term
+    // deflating the ratio to 0.62. 2048× is the largest repl whose full
+    // session (corpus + full-scale p1 pre-READY warmup + warmup round + 2×2
+    // scored rounds at ~260 s/round) still leaves the fused barometer its
+    // minimal session inside the 2100 s deadline. The budget is further cut
+    // by the parent-built corpus snapshot (a 1-core level writing the
+    // corpus serially cost minutes of spin-up) and the deadline guard.
+    val pipeRepl = sys.env.getOrElse("SPARK_GRAFT_BENCH_PIPE_REPL", "2048").toInt
     val pipeReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_PIPE_REPS", "2").toInt
     val pipeReps2 = sys.env.getOrElse("SPARK_GRAFT_BENCH_PIPE_REPS2", "2").toInt
     // wall-clock deadline (seconds): past it, remaining rounds/phases are
@@ -486,10 +590,36 @@ object Bench {
     var fused832: Option[PairResult] = None
     var pipe14: Option[PairResult] = None
     var pipe28: Option[PairResult] = None
-    // headline-only p32 probe (phase 4b): fills the kg headline when the
-    // 8→32 pair is skipped by the leftover-budget rule
+    // headline-only p32 probe: phase 1b secures the full-machine kg
+    // headline UNCONDITIONALLY right after the queries phase (before any
+    // scaling pair can eat the budget); phase 4b re-probes on leftover
+    // budget and keeps the better draw
     var kgProbe: Option[KgStats] = None
     val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    /** One pinned 32-core fused level: 1 discarded warmup + up to 3 timed
+      * reps (~50-100 s incl. spin-up — the 12 GiB heap keeps spin-up in
+      * seconds, so an extra ~11 s draw is the cheapest variance cut the
+      * best-of headline estimator can buy under bursty steal). Keeps the
+      * best-of across multiple probe calls; no scaling claim attaches
+      * ("probe":true in the kg block).
+      */
+    def headlineProbe(tag: String): Unit = {
+      val l = new Level(32, repl, 0, "fused", Nil)
+      try {
+        l.awaitReady()
+        l.runRep(s"$tag-warmup")
+        val warm = l.best
+        var r = 0
+        while (r < 3 && remaining > 60) { l.runRep(tag); r += 1 }
+        // keep the warmup-only discipline: discard if no timed rep ran
+        if (r > 0) {
+          if (kgProbe.forall(_.tps < l.best.tps)) kgProbe = Some(l.best)
+        } else System.err.println(
+          f"[bench] $tag probe warmup-only (${warm.tps}%.0f tps) — discarded")
+        System.err.println(f"[bench] $tag p32 probe done at $elapsed%.0f s")
+      } finally l.close()
+    }
 
     // the per-pair audit block: window median, accepted + rejected +
     // suspect windows, scored-round count, warmup-only flag, and every
@@ -508,19 +638,24 @@ object Bench {
         s""""used_suspect$sfx":${p.usedSuspect},""" +
         s""""rounds_scored$sfx":${p.roundsScored},"warmup_only$sfx":${p.warmupOnly},""" +
         s""""reps_per_window$sfx":${p.repsPerWindow},""" +
-        s""""rep_sec$sfx":[${p.repSec.map { case (x, y) => f"[$x%.2f,$y%.2f]" }.mkString(",")}],"""
+        s""""rep_sec$sfx":[${p.repSec.map { case (x, y) => f"[$x%.2f,$y%.2f]" }.mkString(",")}],""" +
+        s""""conv_rep_sec_small$sfx":[${p.convSmallSec.map(x => f"$x%.2f").mkString(",")}],""" +
+        s""""conv_rep_sec_big$sfx":[${p.convBigSec.map(x => f"$x%.2f").mkString(",")}],"""
 
     def buildJson(partial: Boolean): String = {
       val qs = qResults.map { case (k, v, _) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
       val errs = qResults.collect { case (k, _, false) => "\"" + k + "\"" }.mkString("[", ",", "]")
       val total = qResults.collect { case (_, v, true) => v }.sum
-      // headline = the biggest fused level that actually ran; the p32
-      // headline probe (phase 4b) outranks the p16 pair side and carries a
-      // "probe":true marker since no scaling claim attaches to it
+      // headline = the best p32 draw that actually ran (the 8→32 pair's big
+      // side or the standalone probe — whichever demonstrated the lower
+      // floor; "probe":true marks a probe-won headline since no scaling
+      // claim attaches to it), falling back to the 4→16 pair's p16 side
+      val cand32: Seq[(KgStats, Int, Boolean)] =
+        fused832.map(p => (p.big, 32, false)).toSeq ++
+          kgProbe.map(h => (h, 32, true))
       val headline: Option[(KgStats, Int, Boolean)] =
-        fused832.map(p => (p.big, 32, false))
-          .orElse(kgProbe.map(h => (h, 32, true)))
-          .orElse(fused416.map(p => (p.big, 16, false)))
+        (if (cand32.nonEmpty) Some(cand32.maxBy(_._1.tps))
+         else None).orElse(fused416.map(p => (p.big, 16, false)))
       val kgJson = headline match {
         case Some((h, c, probe)) =>
           f""""kg":{"docs":${h.docs},"triples":${h.triples},"sec":${h.bestSec}%.3f,""" +
@@ -588,7 +723,12 @@ object Bench {
     if (sys.env.contains("SPARK_GRAFT_BENCH_PIPE_ONLY")) {
       Runtime.getRuntime.removeShutdownHook(hook)
       val c = ensurePipeCorpus()
-      val p14 = runPair(1, 0, 4, 4, pipeRepl, pipeReps, job = "pipeline", windows = 2, corpus = c)
+      // ungated floor-convergence draws: the dev harness has no deadline
+      // pressure and exists to validate the driver protocol's estimator
+      val p14 = runPair(1, 0, 4, 4, pipeRepl, pipeReps, job = "pipeline",
+        windows = 2, corpus = c,
+        convTol = 0.04, maxConvReps = 4,
+        convGateSmall = () => true, convGateBig = () => true)
       val p14json =
         f""""pair":"1->4","docs":${p14.small.docs},""" +
           f""""tps_p1":${p14.small.tps}%.1f,"tps_p4":${p14.big.tps}%.1f,""" +
@@ -645,6 +785,16 @@ object Bench {
       }
       if (queriesOnly) { crashed = false; return }
 
+      // ---- phase 1b: early p32 headline probe (round-5) ----
+      // The BASELINE.json headline metric (triples/sec, full machine) must
+      // never depend on how much budget the scaling phases leave: in a
+      // heavy-steal epoch the pipeline pair can trim right past phase 3/4's
+      // entry gates and the old tail-only probe with it, publishing a run
+      // with NO p32 number (the r5-1 validation run already degraded it to
+      // p16). ~40-60 s here buys an unconditional full-machine headline;
+      // phase 4b re-probes on leftover budget and the better draw wins.
+      headlineProbe("headline-early")
+
       // ---- phase 2: FULL-PIPELINE 1→4 (docs → canonical triples) ----
       // FIRST among the scaling phases (round-5 reorder — see the class
       // doc): the north rule names docs→canonical triples as the scaled
@@ -668,20 +818,33 @@ object Bench {
       // replacement windows re-run rejected (>1.0) ones within budget; the
       // stop floor (350 s) and the extra-window gate (650 s) both reserve
       // enough tail for a minimal fused 4→16 barometer session behind it.
-      if (remaining > 600) {
-        // Floor-refinement gate: with a comfortable raw reading (≥0.82 — the
-        // engine's validated calm band) refine only on real slack (>950 s
-        // keeps the barometer AND the fused 8→32 headline phase viable);
-        // with an endangered reading, sacrifice the 8→32 phase (the kg
-        // headline then comes from the ~90 s p32 probe, phase 4b) and
-        // refine while >700 s remain — the north rule's pair owns the
-        // budget (round-5 protocol).
+      if (remaining > 800) {
+        // Gates sized for ~260 s rounds at 2048× (a round = one p1 rep +
+        // one p4 rep). stopEarly leaves ≥450 s after the last round so the
+        // fused barometer's minimal session (~250 s incl. spin-up) always
+        // fits behind a trimmed pair. Floor-refinement gate: with a
+        // comfortable raw reading (≥0.82 — the engine's validated calm
+        // band) refine only on real slack (>950 s keeps the barometer AND
+        // the fused 8→32 headline phase viable); with an endangered
+        // reading, sacrifice the 8→32 phase (the kg headline then comes
+        // from the ~90 s p32 probe, phase 4b) and refine while >700 s
+        // remain — the north rule's pair owns the budget (round-5
+        // protocol).
+        // Floor-convergence draws (see `estimate`): a p4 draw costs ~65-80 s
+        // vs ~265 s for a full round, and its gate reserves the barometer's
+        // minimal session (250 s) behind it — so even a deadline-TRIMMED
+        // pair (stopEarly fired at <450) can still converge its
+        // highest-variance floor; a p1 draw costs a full ~200-260 s and
+        // only runs on real slack.
         pipe14 = Some(runPair(1, 0, 4, 4, pipeRepl, pipeReps, job = "pipeline",
           windows = 2, corpus = ensurePipeCorpus(),
-          stopEarly = () => remaining < 350,
-          maxExtraWindows = 2, extraGate = () => remaining > 650,
+          stopEarly = () => remaining < 450,
+          maxExtraWindows = 2, extraGate = () => remaining > 800,
           maxRefineRounds = 3,
-          refineGate = e => remaining > (if (e.raw < 0.82) 700 else 950)))
+          refineGate = e => remaining > (if (e.raw < 0.82) 700 else 950),
+          convTol = 0.04, maxConvReps = 4,
+          convGateSmall = () => remaining > 700,
+          convGateBig = () => remaining > 330))
         System.err.println(f"[bench] pipeline 1v4 done at $elapsed%.0f s")
       } else skipped += "pipeline_1_4"
 
@@ -708,7 +871,10 @@ object Bench {
         fused416 = Some(runPair(4, 0, 16, 16, repl, reps, windows = 2,
           stopEarly = () => remaining < 120,
           maxExtraWindows = 1, extraGate = () => remaining > 500,
-          suspectInfl = 1.25))
+          suspectInfl = 1.25,
+          maxConvReps = 3,
+          convGateSmall = () => remaining > 170,
+          convGateBig = () => remaining > 140))
         System.err.println(f"[bench] fused 4v16 done at $elapsed%.0f s")
       } else skipped += "fused_4_16"
 
@@ -719,37 +885,29 @@ object Bench {
       // for nothing; calm epochs reach here with ~400+ s to spare.
       if (remaining > 280) {
         fused832 = Some(runPair(8, 0, 32, 0, repl, 5, overlapWarmup = false,
-          stopEarly = () => remaining < 140, suspectInfl = 1.25))
+          stopEarly = () => remaining < 140, suspectInfl = 1.25,
+          maxConvReps = 2,
+          convGateSmall = () => remaining > 170,
+          convGateBig = () => remaining > 150))
         System.err.println(f"[bench] fused 8v32 done at $elapsed%.0f s")
       } else skipped += "fused_8_32"
 
-      // ---- phase 4b: headline-only p32 probe ----
-      // When the 8→32 pair was skipped (or died before scoring a rep), the
-      // kg headline would fall back to the 4→16 pair's p16 side — r5-1
-      // shipped that trade. A single pinned 32-core level (1 discarded
-      // warmup + up to 2 timed reps, ~90 s incl. spin-up) restores the
-      // full-machine headline without the pair's cost; no scaling claim
-      // attaches to it ("probe":true in the kg block).
-      if (fused832.isEmpty && remaining > 200) {
-        val l = new Level(32, repl, 0, "fused", Nil)
-        try {
-          l.awaitReady()
-          l.runRep("headline-warmup")
-          val warm = l.best
-          var r = 0
-          while (r < 2 && remaining > 60) { l.runRep("headline"); r += 1 }
-          // keep the warmup-only discipline: discard if no timed rep ran
-          if (r > 0) kgProbe = Some(l.best)
-          else System.err.println(
-            f"[bench] headline probe warmup-only (${warm.tps}%.0f tps) — discarded")
-          System.err.println(f"[bench] headline p32 probe done at $elapsed%.0f s")
-        } finally l.close()
-      }
+      // ---- phase 4b: late p32 headline re-probe ----
+      // When the 8→32 pair was skipped (or died before scoring a rep), a
+      // second probe in this later epoch gives the best-of headline another
+      // independent draw (phase 1b already secured one unconditionally);
+      // the better of the two wins in buildJson's candidate pick.
+      if (fused832.isEmpty && remaining > 200) headlineProbe("headline")
 
       // ---- phase 5: pipeline 2→8, the saturated-socket bound ----
-      if (remaining > 400) {
+      // entry sized for 2048× rounds (~130 s each): pre-READY warmup +
+      // warmup round + 2 scored rounds ≈ 510 s minimum real session
+      if (remaining > 550) {
         pipe28 = Some(runPair(2, 0, 8, 8, pipeRepl, pipeReps2, job = "pipeline",
-          corpus = ensurePipeCorpus(), stopEarly = () => remaining < 120))
+          corpus = ensurePipeCorpus(), stopEarly = () => remaining < 120,
+          convTol = 0.04, maxConvReps = 2,
+          convGateSmall = () => remaining > 300,
+          convGateBig = () => remaining > 180))
         System.err.println(f"[bench] pipeline 2v8 done at $elapsed%.0f s")
       } else skipped += "pipeline_2_8"
       crashed = false

@@ -202,4 +202,71 @@ class BenchSpec extends AnyFunSuite {
       invariant(Bench.estimate(trace, reps = 1 + rng.nextInt(3)))
     }
   }
+
+  // ---- round-5 floor-convergence draws (single-side extras) ----
+
+  test("floorGap: relative gap of the two best reps; unconverged below two draws") {
+    assert(Bench.floorGap(Nil) == Double.MaxValue)
+    assert(Bench.floorGap(Seq(100.0)) == Double.MaxValue)
+    // two best of {90, 100, 104}: 104 vs 100 → 4%
+    assert(math.abs(Bench.floorGap(Seq(90.0, 100.0, 104.0)) - 0.04) < 1e-12)
+    assert(Bench.floorGap(Seq(100.0, 100.0)) == 0.0)
+  }
+
+  test("convergence extras tighten a side's floor without touching the windows") {
+    // val6 shape: the big side's best paired rep (64.2 s-equivalent tps) sat
+    // 9% above a later floor — a big-side extra demonstrates the true floor
+    val all = Seq(round(900, 0.80),
+      round(1000, 0.82), round(1010, 0.80),
+      round(1005, 0.81), round(995, 0.79))
+    val base = Bench.estimate(all, reps = 2)
+    val extraBig = Seq(4.0 * 1010.0 * 0.88) // one cheap big-side draw
+    val e = Bench.estimate(all, reps = 2, extraSmall = Nil, extraBig = extraBig)
+    invariant(e)
+    assert(e.windows == base.windows)       // windows are paired-rounds only
+    assert(e.roundsScored == base.roundsScored)
+    assert(math.abs(e.raw - 0.88) < 1e-9)   // floorBig now from the extra
+    assert(e.raw > base.raw)
+    // and a small-side extra can tighten the OTHER floor back down
+    val e2 = Bench.estimate(all, reps = 2,
+      extraSmall = Seq(1100.0), extraBig = extraBig)
+    invariant(e2)
+    assert(e2.raw < e.raw)
+    assert(math.abs(e2.raw - 4.0 * 1010.0 * 0.88 / (4.0 * 1100.0)) < 1e-9)
+  }
+
+  test("an extra that pushes the floor ratio past 1.0 is capped and explained") {
+    val all = Seq(round(900, 0.80), round(1000, 0.85), round(1010, 0.83))
+    val e = Bench.estimate(all, reps = 2, extraBig = Seq(4.0 * 1010.0 * 1.1))
+    invariant(e)
+    assert(e.raw > 1.0 && e.eff == 1.0 && e.rejected.contains(e.raw))
+  }
+
+  test("a tighter extra-derived floor can retro-flag a slow window as suspect") {
+    // both scored windows' big-side bests sit ~18% above a floor that only a
+    // convergence extra demonstrated — with no clean window left, the
+    // estimator publishes the floor ratio but flags usedSuspect
+    val all = Seq(round(1000, 0.70),
+      round(1000, 0.70), round(1005, 0.69),
+      round(995, 0.71), round(1002, 0.70))
+    val extra = Seq(4.0 * 1005.0 * 0.85)
+    val e = Bench.estimate(all, reps = 2, extraBig = extra)
+    invariant(e)
+    assert(e.usedSuspect && e.suspect.size == 2)
+    assert(math.abs(e.raw - 4.0 * 1005.0 * 0.85 / (4.0 * 1005.0)) < 1e-9)
+  }
+
+  test("invariant holds across randomized traces with extras") {
+    val rng = new scala.util.Random(20260819L)
+    for (_ <- 1 to 500) {
+      val n = 1 + rng.nextInt(10)
+      val trace = (0 until n).map { _ =>
+        round(500 + rng.nextDouble() * 1000, 0.4 + rng.nextDouble() * 1.0)
+      }
+      val exS = (0 until rng.nextInt(3)).map(_ => 400 + rng.nextDouble() * 1400)
+      val exB = (0 until rng.nextInt(3)).map(_ => 1600 + rng.nextDouble() * 5000)
+      invariant(Bench.estimate(trace, reps = 1 + rng.nextInt(3),
+        extraSmall = exS, extraBig = exB))
+    }
+  }
 }
