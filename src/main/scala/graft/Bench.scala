@@ -94,7 +94,8 @@ object Bench {
                         warmupOnly: Boolean, repSec: Seq[(Double, Double)],
                         repsPerWindow: Int,
                         convSmallSec: Seq[Double] = Nil,
-                        convBigSec: Seq[Double] = Nil)
+                        convBigSec: Seq[Double] = Nil,
+                        driftSides: Seq[String] = Nil)
 
   /** Estimator outcome over one pair's alternating rounds (see `estimate`).
     * `raw` = the session floor ratio (per-side best tps, the headline);
@@ -113,8 +114,10 @@ object Bench {
                                            rejected: Seq[Double],
                                            suspect: Seq[Double],
                                            usedSuspect: Boolean,
-                                           roundsScored: Int) {
+                                           roundsScored: Int,
+                                           driftSides: Seq[String] = Nil) {
     def warmupOnly: Boolean = roundsScored == 0
+    def drift: Boolean = driftSides.nonEmpty
   }
 
   /** The pair estimator, extracted pure so BenchSpec can pin its invariants
@@ -125,7 +128,11 @@ object Bench {
     *
     * HEADLINE = the SESSION FLOOR RATIO: floorBig / (4 × floorSmall) where
     * each floor is the best tps that side reached anywhere in the session,
-    * warmup round included. Every rep of a side runs the same deterministic
+    * warmup round included — EXCEPT under detected worsening drift, where
+    * the clean-window median is published instead (see the drift block in
+    * the implementation: the floor model assumes contamination is
+    * independent per rep; a session that degrades monotonically violates
+    * that, r5-8). Every rep of a side runs the same deterministic
     * job on the same input, so all timing deviation is additive
     * contamination (host steal, GC, residual JIT) — a rep can run slower
     * than the engine, never faster. min-time (= max-tps) over reps is
@@ -177,7 +184,10 @@ object Bench {
     *
     * Invariant (enforced by construction, pinned by BenchSpec): eff ≤ 1.0,
     * every value in `windows` ≤ 1.0, and raw ≤ 1.0 unless `rejected` is
-    * non-empty.
+    * non-empty. `eff` is the floor ratio capped at 1.0 — except under
+    * detected worsening drift (see the drift block below), where it is the
+    * clean-window median (itself ≤ 1.0 by construction) and the artifact
+    * says so via `drift_detected`/`drift_sides`.
     */
   private[graft] def estimate(all: Seq[(Double, Double)], reps: Int,
                               suspectInfl: Double = 1.15,
@@ -219,9 +229,58 @@ object Bench {
     val windowMedian = if (used.nonEmpty) median(used) else rejectedW.min
     val rejected =
       if (floorRatio > 1.0) rejectedW :+ floorRatio else rejectedW
-    Estimate(floorRatio, math.min(floorRatio, 1.0), windowMedian,
+    // WORSENING-DRIFT DETECTION (round-5 validation run r5-8). The floor
+    // model assumes contamination is INDEPENDENT per rep (bursts); a session
+    // that degrades monotonically violates it: the two floors then come from
+    // different epoch states and their ratio mixes them (r5-8: machine-wide
+    // ~1.45× slowdown worsening through the phase — p1 rep_sec 236.6 warmup
+    // → 270.1 → 282.6, p4 80.4 → 87.3; floor ratio read 0.735 while the
+    // drift-immune windows read 0.840, and the r5-7 calm-epoch truth is
+    // 0.824). Windows compare temporally-ADJACENT reps, so slowly-varying
+    // common-mode contamination cancels inside them. Three conditions, ALL
+    // required before the estimator swaps the published efficiency to the
+    // clean-window median (symmetric: it corrects an inflated floor ratio
+    // down just as it corrects a deflated one up):
+    //  (a) signature — a warmup rep runs the same deterministic job as every
+    //      scored rep and can never beat the uncontaminated floor; a side
+    //      whose session-best IS its warmup by a material margin (4%; calm
+    //      within-session spread measures ≤1%) had every scored rep
+    //      contaminated, i.e. the session degraded after warmup.
+    //      Floor-convergence extras count as scored draws here: they run
+    //      after the rounds, so a warmup that beats them too is the same
+    //      physical impossibility.
+    //  (b) common-mode corroboration — the OTHER side's final draw also sits
+    //      above its own floor by the tolerance. A one-sided sustained
+    //      slowdown (floors epoch-consistent, windows the biased estimator)
+    //      fails this and keeps the floor ratio.
+    //  (c) a clean (non-suspect, non-rejected) window exists to publish; a
+    //      session whose windows are all contaminated has nothing better
+    //      than the floors (and is already flagged via used_suspect).
+    // The floor ratio stays alongside as `raw` and the artifact carries
+    // `drift_detected` + the affected side(s); rep_sec makes the whole
+    // decision re-derivable.
+    val driftTol = 1.04
+    // `scored` excludes the warmup whenever one exists (all.size > 1); conv
+    // extras run after the alternating rounds, so appending keeps time order
+    val scoredSmall = scored.map(_._1) ++ extraSmall
+    val scoredBig = scored.map(_._2) ++ extraBig
+    def lastSlow(reps: Seq[Double], floor: Double): Boolean =
+      reps.lastOption.exists(_ * driftTol < floor)
+    val driftSmall = all.size > 1 &&
+      all.head._1 > scoredSmall.max * driftTol && lastSlow(scoredBig, floorBig)
+    val driftBig = all.size > 1 &&
+      all.head._2 > scoredBig.max * driftTol && lastSlow(scoredSmall, floorSmall)
+    val driftSides =
+      if (cleanE.isEmpty) Nil
+      else (if (driftSmall) Seq("small") else Nil) ++
+        (if (driftBig) Seq("big") else Nil)
+    val eff =
+      if (driftSides.nonEmpty) math.min(windowMedian, 1.0)
+      else math.min(floorRatio, 1.0)
+    Estimate(floorRatio, eff, windowMedian,
       used, rejected, suspect, usedSuspect,
-      roundsScored = math.max(all.size - 1, 0))
+      roundsScored = math.max(all.size - 1, 0),
+      driftSides = driftSides)
   }
 
   /** Proper median: odd n → middle, even n → mean of the two middle values.
@@ -501,12 +560,14 @@ object Bench {
           f"suspect ${e.suspect.map(x => f"$x%.3f").mkString(" ")}${if (e.usedSuspect) " (USED: no clean window)" else ""} " +
           f"window median ${e.windowMedian}%.3f " +
           f"-> floor-ratio raw ${e.raw}%.3f reported ${e.eff}%.3f " +
+          (if (e.drift) s"(DRIFT on ${e.driftSides.mkString("+")} side: window median published) " else "") +
           f"(round ratios ${all.map { case (ta, tb) => f"${tb / (4.0 * ta)}%.3f" }.mkString(" ")}, first = warmup)")
       PairResult(a.best, b.best, e.eff, e.raw, e.windowMedian,
         e.windows, e.rejected,
         e.suspect, e.usedSuspect,
         e.roundsScored, e.warmupOnly, secs.toSeq, reps,
-        convS.map(_._2).toSeq, convB.map(_._2).toSeq)
+        convS.map(_._2).toSeq, convB.map(_._2).toSeq,
+        e.driftSides)
     } finally { a.close(); b.close() }
   }
 
@@ -548,12 +609,15 @@ object Bench {
     val pipeReps2 = sys.env.getOrElse("SPARK_GRAFT_BENCH_PIPE_REPS2", "2").toInt
     // wall-clock deadline (seconds): past it, remaining rounds/phases are
     // dropped and the JSON reports what completed (round 3 died at the
-    // driver's timeout with parsed:null — never again). 2100 s + JVM/sbt
-    // startup is ~36 min, ~20 min inside the driver's observed budget (the
-    // round-3 run was killed only after ~55 min); the extra headroom over
-    // round 4's first 1900 s buys the pipeline pair 1-2 scored rounds in
-    // heavy-steal epochs (one stress run left it a single round at 1900).
-    val deadline = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "2100").toDouble
+    // driver's timeout with parsed:null — never again). 2250 s + JVM/sbt
+    // startup is ~38 min, ~16 min inside the driver's observed budget (the
+    // round-3 run was killed only after ~55 min). Round 4 ran at 1900 then
+    // 2100; round 5's r5-8 validation run hit a sustained ~1.45× machine
+    // slowdown in which pipeline rounds stretched to ~350 s and the fused
+    // barometer missed its 250 s entry gate by 32 s — the extra 150 s is
+    // sized so a heavy epoch still lands the barometer (and usually one
+    // more pair round) while staying far inside the kill budget.
+    val deadline = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "2250").toDouble
     def remaining: Double = deadline - elapsed
 
     // parent-built pipeline corpus snapshot (32-core build, ~30 s, vs
@@ -629,7 +693,10 @@ object Bench {
     // from consecutive rep_sec groups. By `estimate`'s construction
     // eff <= 1.0, every eff_windows value <= 1.0, and raw <= 1.0 unless
     // rejected_windows is non-empty — the artifact never carries an
-    // unexplained >1.0 figure (BenchSpec pins it).
+    // unexplained >1.0 figure (BenchSpec pins it). Under drift_detected
+    // the published efficiency is the clean-window median and the floor
+    // ratio stays alongside as efficiency_raw (BenchSpec pins the r5-8
+    // verbatim trace).
     def pairFields(p: PairResult, sfx: String): String =
       f""""eff_window_median$sfx":${p.windowMedian}%.3f,""" +
         s""""eff_windows$sfx":[${p.windows.map(e => f"$e%.3f").mkString(",")}],""" +
@@ -640,7 +707,9 @@ object Bench {
         s""""reps_per_window$sfx":${p.repsPerWindow},""" +
         s""""rep_sec$sfx":[${p.repSec.map { case (x, y) => f"[$x%.2f,$y%.2f]" }.mkString(",")}],""" +
         s""""conv_rep_sec_small$sfx":[${p.convSmallSec.map(x => f"$x%.2f").mkString(",")}],""" +
-        s""""conv_rep_sec_big$sfx":[${p.convBigSec.map(x => f"$x%.2f").mkString(",")}],"""
+        s""""conv_rep_sec_big$sfx":[${p.convBigSec.map(x => f"$x%.2f").mkString(",")}],""" +
+        s""""drift_detected$sfx":${p.driftSides.nonEmpty},""" +
+        s""""drift_sides$sfx":[${p.driftSides.map("\"" + _ + "\"").mkString(",")}],"""
 
     def buildJson(partial: Boolean): String = {
       val qs = qResults.map { case (k, v, _) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
@@ -692,12 +761,19 @@ object Bench {
           // rounds), so a deflated pipeline ratio in the same session is
           // machine-readably qualified by a deflated barometer (verdict #3)
           val baro = fused416.map(q => f""""barometer_fused_4_16":${q.raw}%.3f,""").getOrElse("")
+          // second epoch qualifier, unconditional: the early p32 probe's
+          // best rep seconds vs the engine's documented calm band (~5.8-6.2
+          // s at 4096×, BENCH.md) — present even when a heavy epoch trims
+          // the barometer phase itself (r5-8: barometer skipped, probe 7.6 s
+          // = ~1.3× calm, machine-readably marking the session degraded)
+          val probeCtx = kgProbe.map(h =>
+            f""""probe_p32_best_sec":${h.bestSec}%.2f,""").getOrElse("")
           f""""scaling_pipeline":{"job":"docs->canonical triples (extract+vocab gate+link+CC+canon)",""" +
             f""""pair":"1->4","docs":${p.small.docs},"triples":${p.small.triples},""" +
             f""""tps_p1":${p.small.tps}%.1f,"tps_p4":${p.big.tps}%.1f,""" +
             f""""efficiency":${p.eff}%.3f,"efficiency_raw":${p.raw}%.3f,""" +
             pairFields(p, "") +
-            baro + s28 +
+            baro + probeCtx + s28 +
             s""""note":"primary pair sits inside the socket's DRAM envelope (measured """ +
             s"""per-stage CPU/row inflation gradient vs busy cores) so the ratio reflects """ +
             s"""engine coordination; FULL-scale level warmup (round-4: quarter warmup """ +
@@ -841,7 +917,10 @@ object Bench {
           stopEarly = () => remaining < 450,
           maxExtraWindows = 2, extraGate = () => remaining > 800,
           maxRefineRounds = 3,
-          refineGate = e => remaining > (if (e.raw < 0.82) 700 else 950),
+          // the gate reads e.eff (the PUBLISHED figure — floor ratio, or the
+          // window median under drift), so refinement spends budget exactly
+          // when the north-rule reading is endangered
+          refineGate = e => remaining > (if (e.eff < 0.82) 700 else 950),
           convTol = 0.04, maxConvReps = 4,
           convGateSmall = () => remaining > 700,
           convGateBig = () => remaining > 330))

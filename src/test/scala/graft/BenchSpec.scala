@@ -36,6 +36,16 @@ class BenchSpec extends AnyFunSuite {
     // ones: either it used only clean windows, or it fell back to only
     // suspect ones and said so
     if (e.usedSuspect) assert(e.windows == e.suspect)
+    // the published figure is always exactly one of the two estimators, and
+    // the drift flag says which: clean-window median under detected
+    // worsening drift, floor ratio (capped) otherwise. Drift never publishes
+    // a suspect-windows median — (c) requires a clean window.
+    if (e.drift) {
+      assert(e.eff == math.min(e.windowMedian, 1.0), "drift must publish the window median")
+      assert(!e.usedSuspect && e.windows.nonEmpty,
+        "drift adjustment requires a clean window")
+    } else assert(e.eff == math.min(e.raw, 1.0),
+      "no drift: the floor ratio (capped) is the headline")
   }
 
   test("physically-impossible (>1.0) window is rejected, not medianed in") {
@@ -187,6 +197,88 @@ class BenchSpec extends AnyFunSuite {
     assert(math.abs(e.raw - 104.17 / (4.0 * 32.07)) < 1e-9) // 0.8120
     assert(e.raw > 0.81 && e.raw < 0.814)
     assert(e.windowMedian < 0.80 && e.windowMedian > 0.78)  // 0.789 — the bias
+    assert(e.eff == e.raw)
+  }
+
+  // ---- round-5 worsening-drift detection (validation run r5-8) ----
+
+  test("r5-8 verbatim: worsening common-mode drift publishes the window median") {
+    // the machine degraded ~monotonically through the phase (both sides'
+    // reps slowing together); the p1 session best IS its warmup rep by 14%,
+    // so every scored p1 rep ran contaminated and the floor ratio (0.735)
+    // mixes an early-calm p1 best with later-degraded p4 bests. The single
+    // clean window (temporally-adjacent reps — common-mode drift cancels)
+    // reads 0.840, consistent with the calm-epoch truth of 0.824 (r5-7).
+    val secs = Seq((236.56, 95.30), (270.10, 80.43), (282.63, 87.28))
+    val all = secs.map { case (s, b) => (1e6 / s, 1e6 / b) }
+    val e = Bench.estimate(all, reps = 2)
+    invariant(e)
+    assert(e.drift && e.driftSides == Seq("small"))
+    // floor ratio = t_smallBest / (4 × t_bigBest) = 236.56 / (4 × 80.43)
+    assert(math.abs(e.raw - 236.56 / (4.0 * 80.43)) < 1e-9)
+    assert(e.raw > 0.73 && e.raw < 0.74)
+    assert(e.windows.size == 1 && e.windows.head > 0.83 && e.windows.head < 0.85)
+    assert(e.eff == e.windowMedian && e.eff > 0.83)
+    assert(e.rejected.isEmpty && e.suspect.isEmpty)
+  }
+
+  test("one-sided sustained slowdown is NOT drift: floors stay the headline") {
+    // the small side degrades ~8% right after warmup while the big side
+    // stays flat at its floor — the two floors are epoch-consistent (the
+    // warmup round demonstrated both) and the floor ratio is the truth; the
+    // windows, contaminated on one side only, would read inflated. The
+    // common-mode corroboration (other side's final draw also above its
+    // floor) correctly refuses the adjustment.
+    val all = Seq((1000.0, 3400.0),
+      (925.0, 3395.0), (920.0, 3402.0),
+      (918.0, 3398.0), (922.0, 3400.0))
+    val e = Bench.estimate(all, reps = 2)
+    invariant(e)
+    assert(!e.drift)
+    assert(math.abs(e.raw - 3402.0 / 4000.0) < 1e-12)
+    assert(e.eff == e.raw)
+    assert(e.windowMedian > e.raw) // the inflation the rule refused to publish
+  }
+
+  test("drift with every window suspect keeps the floors (flagged, not swapped)") {
+    // both sides degrade hard (>15%) after a calm warmup round: condition
+    // (a) fires on both sides but no clean window exists — the estimator
+    // publishes the warmup-pinned floor ratio and flags usedSuspect rather
+    // than swapping to a median of contaminated windows.
+    val all = Seq((1000.0, 3400.0),
+      (800.0, 2700.0), (790.0, 2690.0),
+      (780.0, 2650.0), (770.0, 2640.0))
+    val e = Bench.estimate(all, reps = 2)
+    invariant(e)
+    assert(!e.drift && e.usedSuspect)
+    assert(e.eff == math.min(e.raw, 1.0))
+    assert(math.abs(e.raw - 0.85) < 1e-12)
+  }
+
+  test("big-side drift corrects an INFLATED floor ratio down (symmetric)") {
+    // the big side's best is its warmup by >4% while the small side keeps
+    // (slowly) degrading too — floor ratio pairs an early-calm big best with
+    // later-degraded small bests and reads HIGH; the windows correct it down.
+    val all = Seq((1000.0, 3600.0),
+      (980.0, 3300.0), (970.0, 3280.0),
+      (960.0, 3250.0), (950.0, 3230.0))
+    val e = Bench.estimate(all, reps = 2)
+    invariant(e)
+    assert(e.drift && e.driftSides == Seq("big"))
+    assert(e.eff == e.windowMedian)
+    assert(e.eff < e.raw) // the correction went DOWN — not a cherry-pick rule
+  }
+
+  test("calm session: warmup fastest within tolerance is not drift") {
+    // a fully pre-warmed level's warmup round can legitimately tie the floor
+    // (r5-7 p1 spread was 0.9%); sub-tolerance warmup-best must not flip the
+    // estimator
+    val all = Seq((1000.0, 3350.0),
+      (995.0, 3360.0), (990.0, 3340.0),
+      (992.0, 3345.0), (993.0, 3355.0))
+    val e = Bench.estimate(all, reps = 2)
+    invariant(e)
+    assert(!e.drift)
     assert(e.eff == e.raw)
   }
 
