@@ -892,7 +892,7 @@ object Bench {
       // coordination overhead; 2→8 is the saturated-socket bound alongside.
       // Full gradient table + serial-floor audit: BENCH.md. Up to two
       // replacement windows re-run rejected (>1.0) ones within budget; the
-      // stop floor (350 s) and the extra-window gate (650 s) both reserve
+      // stop floor (450 s) and the extra-window gate (800 s) both reserve
       // enough tail for a minimal fused 4→16 barometer session behind it.
       if (remaining > 800) {
         // Gates sized for ~260 s rounds at 2048× (a round = one p1 rep +

@@ -122,7 +122,13 @@ object Semeval {
     import java.nio.file.{Files, StandardCopyOption}
     val bytes = fixtureLines(64).mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    if (!(Files.exists(fixturePath) && Files.size(fixturePath) == bytes.length)) {
+    // compare CONTENT, not just length: a stale /tmp fixture from an older
+    // build with a coincidentally equal byte count must not be reused (the
+    // file is ~20 KB, so a full read is free)
+    val upToDate = Files.exists(fixturePath) &&
+      Files.size(fixturePath) == bytes.length &&
+      java.util.Arrays.equals(Files.readAllBytes(fixturePath), bytes)
+    if (!upToDate) {
       Files.createDirectories(fixturePath.getParent)
       val tmp = Files.createTempFile(fixturePath.getParent, "train", ".tmp")
       Files.write(tmp, bytes)

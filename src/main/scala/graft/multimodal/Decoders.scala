@@ -421,7 +421,7 @@ object Decoders {
               val dur = buf.getInt(pos + hdr + 4 + 12).toLong & 0xffffffffL
               if (ts > 0) durationMs = dur * 1000 / ts
             }
-          case "tkhd" if width == 0 =>
+          case "tkhd" if width == 0 && boxEnd - pos >= hdr + 1 =>
             val v = bytes(pos + hdr) & 0xff
             // after version/flags: v0 = creation4 mod4 id4 res4 dur4 (20),
             // v1 = creation8 mod8 id4 res4 dur8 (32); then res8 layer2 alt2

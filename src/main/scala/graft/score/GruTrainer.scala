@@ -343,6 +343,10 @@ object GruTrainer {
         bcP.destroy()
         val grad = tot.g
         val n = tot.n
+        // empty micro-batch would mean grad/0 → NaN params; fail loudly
+        require(n > 0, s"micro-batch $mb of $stepsPerEpoch selected no " +
+          "examples in any partition — stepsPerEpoch exceeds the available " +
+          "rows; lower it")
         epLoss += tot.loss; epCorrect += tot.correct; epN += n
         epPos += tot.posSum; epNeg += tot.negSum; epNPos += tot.nPos
 

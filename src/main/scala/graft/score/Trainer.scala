@@ -189,6 +189,12 @@ object Trainer {
         bcP.destroy()
         val grad = tot.g
         val n = tot.n
+        // an empty micro-batch (stepsPerEpoch > rows in every partition)
+        // would divide the gradient by 0 and silently NaN-poison the params;
+        // fail loudly — the fix is a smaller stepsPerEpoch
+        require(n > 0, s"micro-batch $mb of $stepsPerEpoch selected no " +
+          "examples in any partition — stepsPerEpoch exceeds the available " +
+          "rows; lower it")
         epLoss += tot.loss; epCorrect += tot.correct; epN += n
         epPos += tot.posSum; epNeg += tot.negSum; epNPos += tot.nPos
 

@@ -192,6 +192,28 @@ class DecodersSpec extends AnyFunSuite {
     assert(fc.n_bytes == corrupt.length && fc.feature.length == 8)
   }
 
+  test("MP4: payload truncated right after a tkhd box header returns zeros") {
+    // a moov whose LAST 8 bytes are a bare `....tkhd` header (declared size
+    // covers a body the file no longer carries): decodeMp4Meta's contract is
+    // "returns zeros when the boxes are absent", so the walk must skip the
+    // bodyless box instead of reading the version byte past the buffer
+    def hdr(typ: String, declared: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(8).order(ByteOrder.BIG_ENDIAN)
+      b.putInt(declared); b.put(typ.getBytes); b.array()
+    }
+    val ftyp = {
+      val p = "isom".getBytes ++ Array[Byte](0, 0, 2, 0) ++ "isom".getBytes
+      val b = ByteBuffer.allocate(8 + p.length).order(ByteOrder.BIG_ENDIAN)
+      b.putInt(8 + p.length); b.put("ftyp".getBytes); b.put(p); b.array()
+    }
+    // moov declares room for the tkhd's 92-byte body, but the bytes end at
+    // the tkhd header — boxEnd clamps to the buffer and the body is gone
+    val bytes = ftyp ++ hdr("moov", 8 + 8 + 92) ++ hdr("tkhd", 8 + 92)
+    assert(Decoders.isMp4(bytes))
+    val (durMs, w, h) = Decoders.decodeMp4Meta(bytes)
+    assert(durMs == 0 && w == 0 && h == 0)
+  }
+
   test("WAV: multiple data chunks — the FIRST one is the payload") {
     // canonical RIFF reading takes the first data chunk; a second one (e.g.
     // appended junk) must not silently replace the samples (ADVICE round 4)

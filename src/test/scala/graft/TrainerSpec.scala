@@ -58,6 +58,17 @@ class TrainerSpec extends SparkSuite {
     assert(again.toSeq == epochs.map(r => (r.getLong(1), r.getLong(3))).toSeq)
   }
 
+  test("empty micro-batch fails loudly instead of NaN-poisoning the params") {
+    // stepsPerEpoch far beyond the per-partition example count: some stride
+    // micro-batch selects nothing anywhere, which would divide the gradient
+    // by n=0 and silently continue on NaN params — the trainer must reject it
+    val tiny = cands.limit(2)
+    val e = intercept[IllegalArgumentException] {
+      Trainer.trainNegSampling(tiny, epochs = 1, stepsPerEpoch = 64)
+    }
+    assert(e.getMessage.contains("stepsPerEpoch"), e.getMessage)
+  }
+
   test("checkpoint/resume: a killed run resumes bit-identically, wOut trains") {
     val dir = java.nio.file.Files.createTempDirectory("trainer-ckpt").toString
     val straight = Trainer.trainNegSampling(cands, epochs = 8)
