@@ -23,7 +23,7 @@ import org.apache.spark.sql.SparkSession
   * phases run in decreasing order of evidence value, the pipeline pair runs
   * fewer rounds over a PARENT-built corpus snapshot (a pinned 1-core level
   * otherwise spends minutes of serial untimed setup), a wall-clock deadline
-  * (SPARK_GRAFT_BENCH_DEADLINE_SEC, default 2100 s) drops remaining rounds /
+  * (SPARK_GRAFT_BENCH_DEADLINE_SEC, default 2250 s) drops remaining rounds /
   * phases instead of overrunning, and a shutdown hook emits the JSON from
   * whatever has completed if the process is killed anyway. A parseable JSON
   * with wider error bars beats a perfect protocol that never reports.
@@ -362,7 +362,11 @@ object Bench {
       // pre-touch at startup: otherwise the first big rep eats tens of
       // seconds of kernel page-zeroing, not extraction work
       "-XX:+AlwaysPreTouch",
-      "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC")
+      "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+      // the parent parses the child's `REP ... sec=%.4f` lines with
+      // toDouble — pin the child's locale so a comma-decimal default
+      // (e.g. de_DE) cannot corrupt the protocol (review finding)
+      "-Duser.language=en", "-Duser.country=US")
     private val pin =
       if (new java.io.File("/usr/bin/taskset").exists)
         Seq("/usr/bin/taskset", "-c", s"$pinFrom-${pinFrom + cores - 1}")
@@ -406,7 +410,16 @@ object Bench {
       (t / sec, sec)
     }
 
-    def close(): Unit = { in.println("quit"); p.destroy(); p.waitFor() }
+    /** Bounded shutdown: a child wedged in Spark's stop hooks must not
+      * stall the parent's finally past the deadline (review finding) —
+      * escalate to SIGKILL after 30 s.
+      */
+    def close(): Unit = {
+      import java.util.concurrent.TimeUnit.SECONDS
+      scala.util.Try(in.println("quit"))
+      p.destroy()
+      if (!p.waitFor(30, SECONDS)) { p.destroyForcibly(); p.waitFor(10, SECONDS) }
+    }
   }
 
   /** Measure one N vs 4N pair with STRICTLY ALTERNATING reps: both level
@@ -455,9 +468,14 @@ object Bench {
                       convGateBig: () => Boolean = () => false): PairResult = {
     val a = new Level(small, repl, smallPin, job, corpus)
     // overlapping pins (8|32 on a 32-core box) must warm up serially;
-    // disjoint pins overlap their untimed warmups to save wall-clock
-    if (!overlapWarmup) a.awaitReady()
-    val b = new Level(big, repl, bigPin, job, corpus)
+    // disjoint pins overlap their untimed warmups to save wall-clock.
+    // If readying `a` or launching `b` fails, `a`'s pinned 12 GiB child
+    // must not leak until process exit (review finding)
+    val b =
+      try {
+        if (!overlapWarmup) a.awaitReady()
+        new Level(big, repl, bigPin, job, corpus)
+      } catch { case t: Throwable => scala.util.Try(a.close()); throw t }
     try {
       a.awaitReady(); b.awaitReady()
       val all = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
@@ -568,10 +586,17 @@ object Bench {
         e.roundsScored, e.warmupOnly, secs.toSeq, reps,
         convS.map(_._2).toSeq, convB.map(_._2).toSeq,
         e.driftSides)
-    } finally { a.close(); b.close() }
+    } finally {
+      // guarded: a throw from a.close() must still close b (review finding)
+      scala.util.Try(a.close()); scala.util.Try(b.close())
+    }
   }
 
   def main(args: Array[String]): Unit = {
+    // the JSON artifact and the child REP protocol are both built with
+    // locale-sensitive formatters; a comma-decimal default locale would
+    // emit unparseable JSON (review finding)
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val t0 = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - t0) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -589,7 +614,11 @@ object Bench {
     // fused rounds cost ~44 s at 4096× (p4 ~33 s + p16 ~10 s); 2 in-session
     // windows of 3 scored rounds (bests-ratio form — below the 5-round
     // median threshold) keep the phase near ~6 min
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // reps clamped to >= 2: `estimate`'s window machinery needs two rounds
+    // per window (a reps=1 override silently merged all rounds into one
+    // trailing window and burned replacement budget futilely — review
+    // finding)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(2)
     // pipeline pair: 2048× replication (round 5; was 1024×). A job-level
     // probe at p4/1024× decomposes a rep into two corpus-scale stages
     // (~0.4 s task imbalance on 122 tasks — negligible) plus a ~4.2 s FIXED
@@ -605,8 +634,8 @@ object Bench {
     // by the parent-built corpus snapshot (a 1-core level writing the
     // corpus serially cost minutes of spin-up) and the deadline guard.
     val pipeRepl = sys.env.getOrElse("SPARK_GRAFT_BENCH_PIPE_REPL", "2048").toInt
-    val pipeReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_PIPE_REPS", "2").toInt
-    val pipeReps2 = sys.env.getOrElse("SPARK_GRAFT_BENCH_PIPE_REPS2", "2").toInt
+    val pipeReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_PIPE_REPS", "2").toInt.max(2)
+    val pipeReps2 = sys.env.getOrElse("SPARK_GRAFT_BENCH_PIPE_REPS2", "2").toInt.max(2)
     // wall-clock deadline (seconds): past it, remaining rounds/phases are
     // dropped and the JSON reports what completed (round 3 died at the
     // driver's timeout with parsed:null — never again). 2250 s + JVM/sbt
@@ -660,6 +689,17 @@ object Bench {
     // budget and keeps the better draw
     var kgProbe: Option[KgStats] = None
     val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
+    // one dying child JVM must not abort the remaining phases or the final
+    // emit: each scaling phase runs isolated, a death is logged and named
+    // in `skipped` (review finding). Appends and the emitter's read are
+    // synchronized because the shutdown hook reads from another thread.
+    def skip(name: String): Unit = skipped.synchronized { skipped += name }
+    def phase(name: String)(body: => Unit): Unit =
+      try body catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] phase $name DIED: ${e.getMessage}")
+          skip(s"$name (died)")
+      }
 
     /** One pinned 32-core fused level: 1 discarded warmup + up to 3 timed
       * reps (~50-100 s incl. spin-up — the 12 GiB heap keeps spin-up in
@@ -783,15 +823,27 @@ object Bench {
       }
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,""" +
         kgJson + scalingJson + pipeJson +
-        s""""skipped":${skipped.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""skipped":${skipped.synchronized(skipped.toList).map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         f""""partial":$partial,"deadline_sec":$deadline%.0f,"elapsed_sec":$elapsed%.1f,""" +
         s""""sf":"$sfDir"}"""
     }
 
-    // the JSON line must land exactly once, even if the driver SIGTERMs us
+    // the JSON line must land exactly once, even if the driver SIGTERMs us.
+    // Build BEFORE consuming the one-shot flag: a buildJson failure in the
+    // shutdown hook must not forfeit the main thread's emission (review
+    // finding) — and a failure still prints a minimal parseable line
     val printed = new java.util.concurrent.atomic.AtomicBoolean(false)
-    def emit(partial: Boolean): Unit =
-      if (printed.compareAndSet(false, true)) { println(buildJson(partial)); Console.out.flush() }
+    def emit(partial: Boolean): Unit = {
+      val line =
+        try buildJson(partial)
+        catch { case scala.util.control.NonFatal(e) =>
+          s"""{"metric":"total","value":-1,"unit":"sec","queries":{},""" +
+            s""""errors":["emit:${e.getClass.getSimpleName}"],"kg":null,""" +
+            s""""scaling":null,"scaling_pipeline":null,"skipped":[],""" +
+            s""""partial":true,"sf":"$sfDir"}"""
+        }
+      if (printed.compareAndSet(false, true)) { println(line); Console.out.flush() }
+    }
     val hook = new Thread(() => emit(partial = true))
     Runtime.getRuntime.addShutdownHook(hook)
 
@@ -869,7 +921,11 @@ object Bench {
       // with NO p32 number (the r5-1 validation run already degraded it to
       // p16). ~40-60 s here buys an unconditional full-machine headline;
       // phase 4b re-probes on leftover budget and the better draw wins.
-      headlineProbe("headline-early")
+      // Budget guard: below 60 s the timed-rep loop cannot run even once,
+      // so spinning up the 32-core child is guaranteed waste (review
+      // finding) — skip explicitly instead.
+      if (remaining > 60) phase("headline_early_probe") { headlineProbe("headline-early") }
+      else skip("headline_early_probe")
 
       // ---- phase 2: FULL-PIPELINE 1→4 (docs → canonical triples) ----
       // FIRST among the scaling phases (round-5 reorder — see the class
@@ -894,7 +950,7 @@ object Bench {
       // replacement windows re-run rejected (>1.0) ones within budget; the
       // stop floor (450 s) and the extra-window gate (800 s) both reserve
       // enough tail for a minimal fused 4→16 barometer session behind it.
-      if (remaining > 800) {
+      if (remaining > 800) { phase("pipeline_1_4") {
         // Gates sized for ~260 s rounds at 2048× (a round = one p1 rep +
         // one p4 rep). stopEarly leaves ≥450 s after the last round so the
         // fused barometer's minimal session (~250 s incl. spin-up) always
@@ -925,7 +981,7 @@ object Bench {
           convGateSmall = () => remaining > 700,
           convGateBig = () => remaining > 330))
         System.err.println(f"[bench] pipeline 1v4 done at $elapsed%.0f s")
-      } else skipped += "pipeline_1_4"
+      }} else skip("pipeline_1_4")
 
       // ---- phase 3: fused-kernel 4→16 — barometer + kg headline ----
       // Executor HOSTS in a cluster do not share one memory bus/LLC the way
@@ -940,7 +996,7 @@ object Bench {
       // Entry gate (ADVICE round 4): below ~250 s there is only time for
       // the discarded-by-protocol warmup round — spinning up two JVMs to
       // publish a warmup-only estimate is worse than an explicit skip.
-      if (remaining > 250) {
+      if (remaining > 250) { phase("fused_4_16") {
         // suspectInfl 1.25 (vs the pipeline pair's 1.15): fused reps are
         // short (11-16 s) so their calm within-session per-side spread
         // brushes 1.15 (measured 1.143 in a moderate epoch) — a tighter
@@ -955,40 +1011,41 @@ object Bench {
           convGateSmall = () => remaining > 170,
           convGateBig = () => remaining > 140))
         System.err.println(f"[bench] fused 4v16 done at $elapsed%.0f s")
-      } else skipped += "fused_4_16"
+      }} else skip("fused_4_16")
 
       // ---- phase 4: fused 8→32 — headline p32 + saturated-socket bound ----
       // Leftover budget only (evidence-secondary). 8|32 pins necessarily
       // overlap (8+32>32) but never run concurrently; warmups are serial.
       // The entry gate keeps a warmup-only session from spinning up two JVMs
       // for nothing; calm epochs reach here with ~400+ s to spare.
-      if (remaining > 280) {
+      if (remaining > 280) { phase("fused_8_32") {
         fused832 = Some(runPair(8, 0, 32, 0, repl, 5, overlapWarmup = false,
           stopEarly = () => remaining < 140, suspectInfl = 1.25,
           maxConvReps = 2,
           convGateSmall = () => remaining > 170,
           convGateBig = () => remaining > 150))
         System.err.println(f"[bench] fused 8v32 done at $elapsed%.0f s")
-      } else skipped += "fused_8_32"
+      }} else skip("fused_8_32")
 
       // ---- phase 4b: late p32 headline re-probe ----
       // When the 8→32 pair was skipped (or died before scoring a rep), a
       // second probe in this later epoch gives the best-of headline another
       // independent draw (phase 1b already secured one unconditionally);
       // the better of the two wins in buildJson's candidate pick.
-      if (fused832.isEmpty && remaining > 200) headlineProbe("headline")
+      if (fused832.isEmpty && remaining > 200)
+        phase("headline_late_probe") { headlineProbe("headline") }
 
       // ---- phase 5: pipeline 2→8, the saturated-socket bound ----
       // entry sized for 2048× rounds (~130 s each): pre-READY warmup +
       // warmup round + 2 scored rounds ≈ 510 s minimum real session
-      if (remaining > 550) {
+      if (remaining > 550) { phase("pipeline_2_8") {
         pipe28 = Some(runPair(2, 0, 8, 8, pipeRepl, pipeReps2, job = "pipeline",
           corpus = ensurePipeCorpus(), stopEarly = () => remaining < 120,
           convTol = 0.04, maxConvReps = 2,
           convGateSmall = () => remaining > 300,
           convGateBig = () => remaining > 180))
         System.err.println(f"[bench] pipeline 2v8 done at $elapsed%.0f s")
-      } else skipped += "pipeline_2_8"
+      }} else skip("pipeline_2_8")
       crashed = false
     } finally {
       // a phase that THREW must not be labeled a complete run: partial=true
