@@ -80,8 +80,21 @@ object ConnectedComponents {
     val table = ckptDir.map(d => s"$d/cc_labels")
     var labels = table.filter(t => TableIO.currentVersion(t).isDefined) match {
       case Some(t) =>
-        // resume from the last committed round's labels
-        TableIO.read(edges.sparkSession, t)
+        // resume from the last committed round's labels — guarded: a stale
+        // table from an earlier attempt over a DIFFERENT edge set would
+        // silently dictate the vertex set (new vertices never enter the
+        // left-join rounds; removed ones persist with bogus components).
+        // The count comparison is the cheap fingerprint; callers changing
+        // the upstream graph must clear ckptDir (review finding). Both
+        // counts run only on the rare resume path.
+        val resumed = TableIO.read(edges.sparkSession, t)
+        val vertices = sym.select(col("src")).distinct().count()
+        val labelled = resumed.count()
+        require(labelled == vertices,
+          s"CC resume: committed labels at $t cover $labelled vertices but " +
+            s"the edge set has $vertices — stale checkpoint from a different " +
+            "graph; delete the ckptDir (or its upstream stage) and rerun")
+        resumed
       case None =>
         // left LAZY on purpose: the init plan is one distinct over the sym
         // leaf, re-derived only inside round 1's own job — an eager
@@ -138,6 +151,12 @@ object ConnectedComponents {
       converged = changed == 0L
       iter += 1
     }
+    // exhausting maxIter returns the labels as-is (callers like the
+    // ResumeSpec kill simulation rely on that), but never silently: members
+    // of one component may still carry different canonical ids
+    if (!converged)
+      System.err.println(s"[cc] WARNING: maxIter=$maxIter exhausted before " +
+        "convergence — returned labels may split components")
     labels
   }
 }

@@ -53,7 +53,6 @@ object FusedKernel {
     "pobj", "dobj", "conj", "prep", "cc", "punct")
 
   private val nLabels = Labels.all.length - 1 // 'Other' reserved, as in SignatureScorer
-  private val labelFull: Array[String] = Labels.all.toArray
   private val labelPred: Array[String] = Labels.all.map(Labels.collapse).toArray
   private val labelSwaps: Array[Boolean] = Labels.all.map(_.endsWith("(e2,e1)")).toArray
 

@@ -39,8 +39,36 @@ object KgPipeline {
   def stem(c: org.apache.spark.sql.Column) =
     when(length(c) > 3 && c.endsWith("s"), c.substr(lit(1), length(c) - 1)).otherwise(c)
 
+  /** Stem-variant edges of an alias dictionary (alias, entity_id):
+    * entity ↔ entity of its stemmed alias when both exist, SELF-MATCHES
+    * EXCLUDED — stem(a) == a for every non-plural alias, so without the
+    * filter the edge set carries a self-edge per dictionary entry and CC's
+    * vertex set becomes the whole Heaps-large dictionary instead of the
+    * much smaller variant subgraph (review finding; the callers restore
+    * singletons via an explicit self-edge union or a left-join coalesce).
+    * The stem self-join stays a shuffle join deliberately: at 100 TB the
+    * dictionary is Heaps-large on BOTH sides.
+    */
+  private def variantEdges(d: DataFrame): DataFrame = {
+    val stemmed = d.select(col("entity_id").as("src_id"), stem(col("alias")).as("stem"))
+    val byStem = d.select(col("alias").as("stem_alias"), col("entity_id").as("dst_id"))
+    stemmed
+      .join(byStem, col("stem") === col("stem_alias"))
+      .filter(col("src_id") =!= col("dst_id"))
+      .select(col("src_id").as("src"), col("dst_id").as("dst"))
+  }
+
+  /** @param broadcastMaxDictRows dictionary-side row bound for the two
+    *   entity joins: at or below it the dictionary broadcasts (one hash
+    *   build per executor, no stream shuffle); above it the join degrades
+    *   to `Linking.saltedLeftJoin` — a hard `broadcast()` hint on a
+    *   Heaps-large table would force the full dictionary through the
+    *   driver regardless of `autoBroadcastJoinThreshold` (review finding).
+    *   ~5M rows ≈ low hundreds of MB broadcast; a config knob at scale.
+    */
   def run(spark: SparkSession, sfDir: String, runDir: String,
-          whitelistMinCount: Long = 3): DataFrame = {
+          whitelistMinCount: Long = 3,
+          broadcastMaxDictRows: Long = 5000000L): DataFrame = {
     import spark.implicits._
     val log = new StageLog(spark, runDir)
 
@@ -77,13 +105,35 @@ object KgPipeline {
         triples.select(col("subj")).union(triples.select(col("obj")))).toDF()
     }
 
+    // one dictionary-sized count decides BOTH entity joins below: broadcast
+    // while the dictionary is driver-safe, salted shuffle join beyond
+    // (canon is row-for-row the dictionary, so the one count covers it too)
+    val dictIsSmall = aliasDict.count() <= broadcastMaxDictRows
+
     val linked = log.runStage("linked_triples") {
-      val dict = broadcast(aliasDict.select(col("alias"), col("entity_id")))
-      triples
-        .join(dict.withColumnRenamed("alias", "s_alias")
-          .withColumnRenamed("entity_id", "subj_id"), col("subj") === col("s_alias"), "left")
-        .join(dict.withColumnRenamed("alias", "o_alias")
-          .withColumnRenamed("entity_id", "obj_id"), col("obj") === col("o_alias"), "left")
+      val dict = aliasDict.select(col("alias"), col("entity_id"))
+      val joined =
+        if (dictIsSmall) {
+          val b = broadcast(dict)
+          triples
+            .join(b.withColumnRenamed("alias", "s_alias")
+              .withColumnRenamed("entity_id", "subj_id"), col("subj") === col("s_alias"), "left")
+            .join(b.withColumnRenamed("alias", "o_alias")
+              .withColumnRenamed("entity_id", "obj_id"), col("obj") === col("o_alias"), "left")
+        } else {
+          // skew-aware degradation: the triple stream's hot surfaces (Zipf
+          // head) would swamp single reducers in a plain shuffle join; the
+          // salt spreads each key over `entityBuckets` reducers
+          val s = Linking.saltedLeftJoin(triples,
+            dict.withColumnRenamed("alias", "s_alias")
+              .withColumnRenamed("entity_id", "subj_id"),
+            "subj", "s_alias", Seq("doc_id", "span_idx"), entityBuckets)
+          Linking.saltedLeftJoin(s,
+            dict.withColumnRenamed("alias", "o_alias")
+              .withColumnRenamed("entity_id", "obj_id"),
+            "obj", "o_alias", Seq("doc_id", "span_idx"), entityBuckets)
+        }
+      joined
         .select(col("doc_id"), col("span_idx"), col("pred"), col("score"),
           col("subj"), coalesce(col("subj_id"), lit(Linking.OovEntityId)).as("subj_id"),
           col("obj"), coalesce(col("obj_id"), lit(Linking.OovEntityId)).as("obj_id"))
@@ -96,31 +146,46 @@ object KgPipeline {
     // evenly where raw entity_id would make one directory per entity
     val canon = log.runStage("entity_canon", partitionBy = Seq("entity_bucket")) {
       // edges: entity ↔ entity of its stemmed alias (when both exist), plus
-      // self-loops so every entity appears in the CC vertex set
+      // self-loops so every entity appears in the CC vertex set (the durable
+      // entity_canon table lists EVERY entity — unlike the in-memory
+      // benchmark path, which restores singletons via a left-join coalesce)
       val d = aliasDict.select(col("alias"), col("entity_id"))
-      val stemmed = d.select(col("entity_id").as("src_id"), stem(col("alias")).as("stem"))
-      val byStem = d.select(col("alias").as("stem_alias"), col("entity_id").as("dst_id"))
-      val variantEdges = stemmed
-        .join(byStem, col("stem") === col("stem_alias"))
-        .select(col("src_id").as("src"), col("dst_id").as("dst"))
       val selfEdges = d.select(col("entity_id").as("src"), col("entity_id").as("dst"))
       // CC rounds checkpoint durably inside the run dir: a mid-CC kill
       // resumes from the last committed labels instead of restarting
-      ConnectedComponents.run(variantEdges.union(selfEdges),
+      ConnectedComponents.run(variantEdges(d).union(selfEdges),
         ckptDir = Some(s"$runDir/cc"))
         .select(col("id").as("entity_id"), col("component").as("canonical_id"),
           pmod(hash(col("id")), lit(entityBuckets)).as("entity_bucket"))
     }
 
     log.runStage("canonical_triples", partitionBy = Seq("pred")) {
-      val c = broadcast(canon)
-      linked
-        .join(c.withColumnRenamed("entity_id", "s_ent")
-          .withColumnRenamed("canonical_id", "subj_canon"),
-          col("subj_id") === col("s_ent"), "left")
-        .join(c.withColumnRenamed("entity_id", "o_ent")
-          .withColumnRenamed("canonical_id", "obj_canon"),
-          col("obj_id") === col("o_ent"), "left")
+      // project away entity_bucket BEFORE the join: it is a partition-layout
+      // column, replicating it in a broadcast (twice) is dead payload, and
+      // two identically-named copies in the joined frame would make any
+      // later entity_bucket reference ambiguous (review finding)
+      val cProj = canon.select(col("entity_id"), col("canonical_id"))
+      val joined =
+        if (dictIsSmall) {
+          val c = broadcast(cProj)
+          linked
+            .join(c.withColumnRenamed("entity_id", "s_ent")
+              .withColumnRenamed("canonical_id", "subj_canon"),
+              col("subj_id") === col("s_ent"), "left")
+            .join(c.withColumnRenamed("entity_id", "o_ent")
+              .withColumnRenamed("canonical_id", "obj_canon"),
+              col("obj_id") === col("o_ent"), "left")
+        } else {
+          val s = Linking.saltedLeftJoin(linked,
+            cProj.withColumnRenamed("entity_id", "s_ent")
+              .withColumnRenamed("canonical_id", "subj_canon"),
+            "subj_id", "s_ent", Seq("doc_id", "span_idx"), entityBuckets)
+          Linking.saltedLeftJoin(s,
+            cProj.withColumnRenamed("entity_id", "o_ent")
+              .withColumnRenamed("canonical_id", "obj_canon"),
+            "obj_id", "o_ent", Seq("doc_id", "span_idx"), entityBuckets)
+        }
+      joined
         .select(
           coalesce(col("subj_canon"), col("subj_id")).as("subj_id"),
           col("pred"),
@@ -144,8 +209,16 @@ object KgPipeline {
     * vocabulary gate instead — same pattern (corpus-wide agg + left-semi
     * join), strictly larger dictionary.
     */
+  /** @param broadcastDict true (default, the benchmarked configuration)
+    *   broadcasts the canonicalized dictionary into the output pass; false
+    *   selects the salted-shuffle degradation path for corpora whose
+    *   dictionary outgrows a driver-safe broadcast (the row-equality of the
+    *   two paths is spec-pinned). The benchmark keeps the broadcast form —
+    *   its dictionary is bounded by the synthetic vocabulary.
+    */
   def canonicalTriplesInMemory(docs: Dataset[(Long, String)],
-                               vocabMinCount: Long = 2): DataFrame = {
+                               vocabMinCount: Long = 2,
+                               broadcastDict: Boolean = true): DataFrame = {
     // Pass economy at 10^12 rows — two corpus-scale passes, NOTHING
     // corpus-scale is materialized:
     //   pass 1: fused extraction → (subj, obj) PAIR aggregation. Map-side
@@ -202,10 +275,14 @@ object KgPipeline {
     // dictionary ranks what survives the vocab gate), computed from gated
     // PAIRS weighted by n — identical multiset to re-scanning the stream.
     // Explicit broadcast: vocab sits behind the persist boundary, so the
-    // planner has no stats; unhinted this degrades to shuffle joins.
+    // planner has no stats; unhinted this degrades to shuffle joins — which
+    // is exactly the right plan when `broadcastDict = false` declares the
+    // dictionary tables beyond driver-safe size (both join sides are
+    // dictionary-sized there, and AQE picks the strategy from runtime stats)
+    def hinted(df: DataFrame): DataFrame = if (broadcastDict) broadcast(df) else df
     val gatedCounts = pairCounts
-      .join(broadcast(vocab), col("subj") === col("__vs"), "left_semi")
-      .join(broadcast(vocab), col("obj") === col("__vs"), "left_semi")
+      .join(hinted(vocab), col("subj") === col("__vs"), "left_semi")
+      .join(hinted(vocab), col("obj") === col("__vs"), "left_semi")
       .select(explode(array(col("subj"), col("obj"))).as("alias"), col("n"))
       .groupBy("alias").agg(sum("n").as("freq"))
       .localCheckpoint(eager = true)
@@ -213,17 +290,12 @@ object KgPipeline {
       .localCheckpoint(eager = true)
 
     // canonicalization: CC over stem-variant edges of the dictionary. No
-    // self-edges — entities outside every variant edge keep their own id via
-    // the left-join coalesce below, so CC runs on the (much smaller) variant
-    // subgraph only. The stem self-join stays a shuffle join deliberately:
-    // at 100 TB the dictionary is Heaps-large on BOTH sides.
+    // self-edges (`variantEdges` filters the stem(a)==a self-matches) —
+    // entities outside every variant edge keep their own id via the
+    // left-join coalesce below, so CC runs on the (much smaller) variant
+    // subgraph only.
     val d = aliasDict.select(col("alias"), col("entity_id"))
-    val stemmed = d.select(col("entity_id").as("src_id"), stem(col("alias")).as("stem"))
-    val byStem = d.select(col("alias").as("stem_alias"), col("entity_id").as("dst_id"))
-    val variantEdges = stemmed
-      .join(byStem, col("stem") === col("stem_alias"))
-      .select(col("src_id").as("src"), col("dst_id").as("dst"))
-    val canon = ConnectedComponents.run(variantEdges)
+    val canon = ConnectedComponents.run(variantEdges(d))
       .select(col("id").as("entity_id"), col("component").as("canonical_id"))
 
     // Compose canonicalization INTO the dictionary (dictionary-sized join)
@@ -235,26 +307,44 @@ object KgPipeline {
     // membership in the gated dictionary — an alias is in that dictionary
     // iff it survives the gate in some triple, and a triple survives iff
     // BOTH its endpoints are in-vocab.
-    val dictCanon = broadcast(
+    val dictCanonPlain =
       d.join(canon, d("entity_id") === canon("entity_id"), "left")
         .select(d("alias"),
-          coalesce(col("canonical_id"), d("entity_id")).as("canon_id")))
+          coalesce(col("canonical_id"), d("entity_id")).as("canon_id"))
 
     // (D) output pass: re-extract, then gate + link + canonicalize in one
-    // narrow stage (two broadcast hash joins; the dictionary side outgrows
-    // broadcast on extreme corpora — Linking.saltedLeftJoin is the
-    // degradation path, as in the staged pipeline). The rename-per-side form
-    // pays two broadcast builds of the dictionary-sized table; a
+    // narrow stage. Default: two broadcast hash joins. The rename-per-side
+    // form pays two broadcast builds of the dictionary-sized table; a
     // shared-subtree form that reuses one build was MEASURED SLOWER overall
     // (pass-2 task CPU +30% — the extra mid-join projection and relation
-    // dedup outweigh one small build), so two builds it is.
-    Extract.triplesFused(docs).toDF()
-      .join(dictCanon.withColumnRenamed("alias", "s_alias")
-        .withColumnRenamed("canon_id", "subj_id"), col("subj") === col("s_alias"))
-      .join(dictCanon.withColumnRenamed("alias", "o_alias")
-        .withColumnRenamed("canon_id", "obj_id"), col("obj") === col("o_alias"))
-      .select(col("subj_id"), col("pred"), col("obj_id"),
-        col("subj"), col("obj"), col("doc_id"), col("span_idx"), col("score"))
+    // dedup outweigh one small build), so two builds it is. When the
+    // dictionary outgrows a driver-safe broadcast (`broadcastDict = false`),
+    // the gate+link joins degrade to Linking.saltedLeftJoin: the inner-join
+    // vocab gate is restored by the not-null filters (a surface is in the
+    // gated dictionary iff the left join found it).
+    val stream = Extract.triplesFused(docs).toDF()
+    if (broadcastDict) {
+      val dictCanon = broadcast(dictCanonPlain)
+      stream
+        .join(dictCanon.withColumnRenamed("alias", "s_alias")
+          .withColumnRenamed("canon_id", "subj_id"), col("subj") === col("s_alias"))
+        .join(dictCanon.withColumnRenamed("alias", "o_alias")
+          .withColumnRenamed("canon_id", "obj_id"), col("obj") === col("o_alias"))
+        .select(col("subj_id"), col("pred"), col("obj_id"),
+          col("subj"), col("obj"), col("doc_id"), col("span_idx"), col("score"))
+    } else {
+      val s = Linking.saltedLeftJoin(stream,
+        dictCanonPlain.withColumnRenamed("alias", "s_alias")
+          .withColumnRenamed("canon_id", "subj_id"),
+        "subj", "s_alias", Seq("doc_id", "span_idx"), entityBuckets)
+      Linking.saltedLeftJoin(s,
+        dictCanonPlain.withColumnRenamed("alias", "o_alias")
+          .withColumnRenamed("canon_id", "obj_id"),
+        "obj", "o_alias", Seq("doc_id", "span_idx"), entityBuckets)
+        .filter(col("subj_id").isNotNull && col("obj_id").isNotNull)
+        .select(col("subj_id"), col("pred"), col("obj_id"),
+          col("subj"), col("obj"), col("doc_id"), col("span_idx"), col("score"))
+    }
   }
 
   /** Entity table for the emitted graph: canonical id per alias. */

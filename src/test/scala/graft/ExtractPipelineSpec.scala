@@ -91,6 +91,23 @@ class ExtractPipelineSpec extends SparkSuite {
     assert(fusedWl == composedWl)
   }
 
+  test("in-memory pipeline: salted degradation path is row-equal to broadcast") {
+    // the 100 TB story: when the dictionary outgrows a driver-safe
+    // broadcast, the gate+link+canonicalize joins degrade to
+    // Linking.saltedLeftJoin — the two configurations must emit identical
+    // canonical triples (the broadcast form is the benchmarked default)
+    import org.apache.spark.sql.functions.col
+    import graft.pipeline.KgPipeline
+    val raw = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+    val viaBroadcast =
+      KgPipeline.canonicalTriplesInMemory(raw).collect().toSet
+    val viaSalted =
+      KgPipeline.canonicalTriplesInMemory(raw, broadcastDict = false).collect().toSet
+    assert(viaSalted == viaBroadcast)
+    assert(viaBroadcast.nonEmpty)
+  }
+
   test("whitelist gate + scorer emit deterministic triples") {
     val cands = Extract.candidates(Extract.docsToSentences(docs)).cache()
     val wl = Extract.signatureWhitelist(cands, minCount = 3)

@@ -105,6 +105,19 @@ class ResumeSpec extends SparkSuite {
     assert(log.lineage(KgPipeline.stages).count() >= KgPipeline.stages.size)
   }
 
+  test("staged pipeline: salted-join degradation is row-equal to broadcast") {
+    // forcing broadcastMaxDictRows = 0 sends BOTH entity joins (link +
+    // canonicalize) down the Linking.saltedLeftJoin path — the committed
+    // canonical triples must equal the broadcast configuration's exactly
+    val bDir = tmpDir("graft-salt-b")
+    val sDir = tmpDir("graft-salt-s")
+    val viaBroadcast = KgPipeline.run(spark, sfDir, bDir).collect().toSet
+    val viaSalted = KgPipeline.run(spark, sfDir, sDir, broadcastMaxDictRows = 0L)
+      .collect().toSet
+    assert(viaSalted == viaBroadcast)
+    assert(viaBroadcast.nonEmpty)
+  }
+
   test("pipeline emits canonicalized entities (plural variants merged)") {
     val runDir = tmpDir("graft-canon")
     KgPipeline.run(spark, sfDir, runDir)
